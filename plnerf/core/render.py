@@ -1,0 +1,218 @@
+"""The volumetric renderer: coarse pass -> hierarchical importance
+resampling -> fine pass, as a single jit-compilable function with static
+shapes — no Python chunk loops in the hot path (the reference's
+``batchify_rays``/``batchify`` memory chunking, run_plnerf.py:68-107, is
+replaced by ``lax.map`` over fixed-size megachunks in ``render_chunked``
+and by XLA's own tiling inside a chunk).
+
+Behavioral reference: ``render_rays`` (run_plnerf.py:627-758) and the
+depth-supervision variant (depth_supervised_exps/
+run_nerf_sample_based_depth.py:792-958), unified here with the variant
+behaviors as explicit RenderConfig options.
+
+RNG: a single jax PRNG key is split deterministically into
+(perturb, coarse-noise, resample-u, fine-noise, pred-hyp-u) streams.  The
+``overrides`` dict lets tests and the cached-u depth path inject exact
+arrays for any stream (the JAX analogue of the reference's ``pytest=True``
+seeded-numpy hooks and ``load_u``).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import mlp, quadrature, sampling
+from .config import ModelConfig, RenderConfig
+
+
+def _maybe(overrides: Optional[Dict[str, Any]], name: str):
+    if overrides is None:
+        return None
+    return overrides.get(name)
+
+
+def render_rays(
+    params_coarse,
+    params_fine,
+    ray_batch: jnp.ndarray,
+    key: jax.Array,
+    mcfg: ModelConfig,
+    rcfg: RenderConfig,
+    cached_u: Optional[jnp.ndarray] = None,
+    cam_embedding: Optional[jnp.ndarray] = None,
+    overrides: Optional[Dict[str, Any]] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Render a batch of rays.
+
+    ray_batch: [R, 8] (``[o, d, near, far]``) or [R, 11] (+viewdirs).
+    Returns the reference's ret dict: rgb_map/disp_map/acc_map/depth_map,
+    coarse ``*0`` variants, z_std, and (when configured) raw, weights,
+    z_vals, pred_hyp, u.
+    """
+    kp, knc, ku, knf, kh = jax.random.split(key, 5)
+    R = ray_batch.shape[0]
+    rays_o, rays_d = ray_batch[:, 0:3], ray_batch[:, 3:6]
+    near, far = ray_batch[:, 6:7], ray_batch[:, 7:8]
+    viewdirs = ray_batch[:, 8:11] if (rcfg.use_viewdirs and ray_batch.shape[-1] > 8) else None
+
+    m = rcfg.effective_mode
+
+    # ---- coarse sampling ----
+    t_rand = _maybe(overrides, "t_rand")
+    if t_rand is None and rcfg.perturb:
+        t_rand = jax.random.uniform(kp, (R, rcfg.n_samples))
+    z_vals = sampling.stratified_z_vals(
+        near, far, rcfg.n_samples, rcfg.lindisp, t_rand
+    )
+
+    def run(params, z, noise_key):
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+        raw = mlp.query_network(
+            params, pts, viewdirs, mcfg, cam_embedding,
+            dtype=jnp.bfloat16 if rcfg.mlp_dtype == "bfloat16" else jnp.float32,
+            use_pallas=rcfg.use_pallas_mlp,
+        )
+        noise = 0.0
+        if rcfg.raw_noise_std > 0.0:
+            ov = _maybe(overrides, "noise")
+            noise = (
+                ov if ov is not None
+                else jax.random.normal(noise_key, raw[..., 3].shape) * rcfg.raw_noise_std
+            )
+        out = quadrature.raw2outputs(
+            raw, z, near, far, rays_d, m, rcfg.color_mode, noise,
+            rcfg.white_bkgd, rcfg.farcolorfix,
+        )
+        out["raw"] = raw
+        return out
+
+    out_c = run(params_coarse, z_vals, knc)
+
+    ret: Dict[str, jnp.ndarray] = {}
+    det = not rcfg.perturb
+
+    def resample(out, z, n, u):
+        """Importance-sample n new z values from a pass's weights."""
+        if m == "linear":
+            samples, _, _, _ = sampling.sample_pdf_reformulation(
+                z, out["weights"], out["tau"], out["T"], near, far, u,
+                rcfg.zero_tol, rcfg.epsilon,
+            )
+        else:
+            z_mid = 0.5 * (z[..., 1:] + z[..., :-1])
+            samples = sampling.sample_pdf(z_mid, out["weights"][..., 1:-1], u)
+        return samples
+
+    if rcfg.n_importance > 0:
+        u = _maybe(overrides, "u")
+        if u is None:
+            u = sampling.draw_u(ku, R, rcfg.n_importance, det)
+        z_samples = resample(out_c, z_vals, rcfg.n_importance, u)
+        z_samples = jax.lax.stop_gradient(z_samples)  # detach (run_plnerf.py:728)
+        z_samples = jnp.clip(z_samples, near, far)
+
+        z_fine = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
+        params_f = params_fine if params_fine is not None else params_coarse
+        out_f = run(params_f, z_fine, knf)
+
+        for k_ in ("rgb_map", "disp_map", "acc_map", "depth_map"):
+            ret[k_] = out_f[k_]
+        ret["rgb0"] = out_c["rgb_map"]
+        ret["disp0"] = out_c["disp_map"]
+        ret["acc0"] = out_c["acc_map"]
+        ret["depth0"] = out_c["depth_map"]
+        ret["z_std"] = jnp.std(z_samples, axis=-1)
+        if rcfg.retraw:
+            ret["raw"] = out_f["raw"]
+
+        if rcfg.compute_pred_hyp:
+            # Depth-supervision quantiles from the FINE weights; NOT detached
+            # — gradients flow through the analytic inverse-CDF into tau/T
+            # (depth script render_rays :920-934).
+            uh = cached_u
+            if uh is None:
+                uh = _maybe(overrides, "u_hyp")
+            if uh is None:
+                uh = sampling.draw_u(kh, R, rcfg.n_importance, det, rcfg.is_joint)
+            pred_hyp = resample(out_f, z_fine, rcfg.n_importance, uh)
+            ret["pred_hyp"] = pred_hyp
+            ret["u"] = uh
+            w = out_f["weights"]
+            ret["weights"] = w[..., 1:] if (m == "linear" and rcfg.trim_first_weight) else w
+            ret["z_vals"] = z_fine
+            ret["weights0"] = out_c["weights"]
+            ret["z_vals0"] = z_vals
+    else:
+        for k_ in ("rgb_map", "disp_map", "acc_map", "depth_map"):
+            ret[k_] = out_c[k_]
+        if rcfg.retraw:
+            ret["raw"] = out_c["raw"]
+        if rcfg.compute_pred_hyp:
+            uh = cached_u
+            if uh is None:
+                uh = _maybe(overrides, "u_hyp")
+            if uh is None:
+                uh = sampling.draw_u(kh, R, rcfg.n_samples, det, rcfg.is_joint)
+            pred_hyp = resample(out_c, z_vals, rcfg.n_samples, uh)
+            ret["pred_hyp"] = pred_hyp
+            ret["u"] = uh
+            w = out_c["weights"]
+            ret["weights"] = w[..., 1:] if (m == "linear" and rcfg.trim_first_weight) else w
+            ret["z_vals"] = z_vals
+    return ret
+
+
+def render_chunked(
+    params_coarse,
+    params_fine,
+    rays: jnp.ndarray,
+    key: jax.Array,
+    mcfg: ModelConfig,
+    rcfg: RenderConfig,
+    chunk: int = 32768,
+) -> Dict[str, jnp.ndarray]:
+    """Render an arbitrary number of packed rays with fixed-shape chunks.
+
+    Pads to a multiple of ``chunk``, maps ``render_rays`` over megachunks
+    with ``lax.map`` (sequential on-device, one compiled body), and unpads.
+    Equivalent of the reference batchify_rays (run_plnerf.py:95-107) without
+    host round-trips.
+    """
+    n = rays.shape[0]
+    n_chunks = max(1, -(-n // chunk))
+    pad = n_chunks * chunk - n
+    rays_p = jnp.pad(rays, ((0, pad), (0, 0)))
+    rays_p = rays_p.reshape(n_chunks, chunk, rays.shape[-1])
+    keys = jax.random.split(key, n_chunks)
+
+    def body(args):
+        rb, k = args
+        return render_rays(params_coarse, params_fine, rb, k, mcfg, rcfg)
+
+    out = jax.lax.map(body, (rays_p, keys))
+    out = jax.tree.map(lambda x: x.reshape(n_chunks * chunk, *x.shape[2:])[:n], out)
+    return out
+
+
+def make_ray_batch(rays_o, rays_d, near, far, use_viewdirs: bool,
+                   ndc: bool = False, H: int = 0, W: int = 0,
+                   focal: float = 0.0):
+    """Flatten + pack rays the way the reference ``render`` frontend does
+    (run_plnerf.py:136-164): viewdirs from pre-NDC directions, normalized;
+    optional NDC warp with near=1."""
+    from . import rays as raysmod
+
+    sh = rays_d.shape
+    viewdirs = None
+    if use_viewdirs:
+        viewdirs = rays_d
+        viewdirs = viewdirs / jnp.linalg.norm(viewdirs, axis=-1, keepdims=True)
+        viewdirs = viewdirs.reshape(-1, 3)
+    if ndc:
+        rays_o, rays_d = raysmod.ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
+    rays_o = rays_o.reshape(-1, 3)
+    rays_d = rays_d.reshape(-1, 3)
+    packed = raysmod.pack_rays(rays_o, rays_d, near, far, viewdirs)
+    return packed, sh[:-1]
