@@ -1,0 +1,56 @@
+"""Checkpoint save/restore.
+
+Reference semantics (run_plnerf.py:453-471,1324-1332): checkpoints live in
+``<ckpt_dir>/<expname>/`` named by step, resume picks the lexically-last
+one unless ``no_reload``; a ``ft_path`` override loads a specific file.
+Deviation (documented): the reference does NOT save the coarse optimizer
+state — we save every optimizer state; restoring a converted reference
+checkpoint simply reinitializes whatever is missing.
+
+Format: flax msgpack state-dict (pure arrays, no pickled code), one file
+per checkpoint: ``{step:06d}.ckpt``.
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional
+
+import flax.serialization as fser
+
+
+CKPT_RE = re.compile(r"^(\d+)\.ckpt$")
+
+
+def save_checkpoint(ckpt_dir: str, step: int, tree: Any) -> str:
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, f"{step:06d}.ckpt")
+    data = fser.msgpack_serialize(fser.to_state_dict(tree))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+    return path
+
+
+def list_checkpoints(ckpt_dir: str):
+    if not os.path.isdir(ckpt_dir):
+        return []
+    out = []
+    for name in sorted(os.listdir(ckpt_dir)):
+        m = CKPT_RE.match(name)
+        if m:
+            out.append(os.path.join(ckpt_dir, name))
+    return out
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    ckpts = list_checkpoints(ckpt_dir)
+    return ckpts[-1] if ckpts else None
+
+
+def restore_checkpoint(path: str, template: Any) -> Any:
+    """Restore into the structure of ``template`` (a matching pytree)."""
+    with open(path, "rb") as f:
+        state_dict = fser.msgpack_restore(f.read())
+    return fser.from_state_dict(template, state_dict)

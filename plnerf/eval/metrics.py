@@ -1,0 +1,67 @@
+"""Image-quality metrics: PSNR (jax), SSIM (host, matching
+scikit-image's ``structural_similarity`` defaults — the reference evaluates
+SSIM with skimage at run_plnerf.py:339), depth RMSE.
+
+SSIM is computed host-side with scipy's uniform filter; it is O(pixels) and
+runs once per eval image, never in the training hot path.
+"""
+from __future__ import annotations
+
+import numpy as np
+from scipy import ndimage
+
+
+def psnr(img, gt) -> float:
+    mse = float(np.mean((np.asarray(img) - np.asarray(gt)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return -10.0 * np.log10(mse)
+
+
+def _ssim_single(x: np.ndarray, y: np.ndarray, data_range: float,
+                 win_size: int = 7, K1: float = 0.01, K2: float = 0.03):
+    """skimage-compatible SSIM for one 2-D channel (uniform window,
+    sample-covariance normalization, edge crop)."""
+    x = x.astype(np.float64)
+    y = y.astype(np.float64)
+    NP = win_size ** x.ndim
+    cov_norm = NP / (NP - 1)
+
+    filt = lambda a: ndimage.uniform_filter(a, size=win_size)
+    ux, uy = filt(x), filt(y)
+    uxx, uyy, uxy = filt(x * x), filt(y * y), filt(x * y)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+
+    C1 = (K1 * data_range) ** 2
+    C2 = (K2 * data_range) ** 2
+    A1, A2 = 2 * ux * uy + C1, 2 * vxy + C2
+    B1, B2 = ux ** 2 + uy ** 2 + C1, vx + vy + C2
+    S = (A1 * A2) / (B1 * B2)
+
+    pad = (win_size - 1) // 2
+    return S[pad:-pad, pad:-pad].mean()
+
+
+def ssim(img, gt, data_range: float = 1.0) -> float:
+    """Multichannel SSIM, mean over channels (skimage channel_axis=-1)."""
+    img = np.asarray(img)
+    gt = np.asarray(gt)
+    if img.ndim == 2:
+        return float(_ssim_single(img, gt, data_range))
+    vals = [
+        _ssim_single(img[..., c], gt[..., c], data_range)
+        for c in range(img.shape[-1])
+    ]
+    return float(np.mean(vals))
+
+
+def depth_rmse(pred_depth, target_depth, valid_mask) -> float:
+    """RMSE over valid-depth pixels (reference run_plnerf.py:328)."""
+    pred = np.asarray(pred_depth)
+    tgt = np.asarray(target_depth)
+    m = np.asarray(valid_mask).astype(bool)
+    if m.sum() == 0:
+        return float("nan")
+    return float(np.sqrt(np.mean((pred[m] - tgt[m]) ** 2)))

@@ -1,0 +1,255 @@
+"""Jit-compiled training steps.
+
+One fused device program per optimization step: render (coarse ->
+importance resample -> fine), photometric + auxiliary losses, backward,
+Adam update(s) — no host round-trips inside the step.  The reference
+equivalent is the body of the train loop (run_plnerf.py:1282-1315) and the
+depth variant (run_nerf_sample_based_depth.py:1127-1161).
+
+Three flavors, all built by ``make_train_step``:
+* two-optimizer NVS (run_plnerf.py: fine Adam + coarse Adam),
+* single joint optimizer (run_nerf_vanilla.py),
+* depth-supervised (joint optimizer + space-carving loss + per-image depth
+  scale/shift trained by their own Adam, elementwise grad clip).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core import render
+from ..core.config import ModelConfig, RenderConfig
+from ..core.mlp import init_nerf_params
+from ..utils.misc import img2mse, mse2psnr
+from . import losses, optim
+from .state import TrainState
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainSetup:
+    """Everything static about training (hashable; safe to close over)."""
+    mcfg: ModelConfig = ModelConfig()
+    rcfg: RenderConfig = RenderConfig()
+    lrate: float = 5e-4
+    coarse_lrate: float = 5e-4
+    lrate_decay: int = 250               # in 1000-step units
+    fix_coarse_lr_decay: bool = False    # see optim.exp_decay_schedule note
+    joint_optimizer: bool = False        # vanilla / depth scripts
+    grad_clip_value: Optional[float] = None
+    # depth-supervision:
+    space_carving_weight: float = 0.0
+    warm_start_nerf: int = 0
+    is_joint: bool = False
+    norm_p: int = 2
+    space_carving_threshold: float = 0.0
+    scaleshift_lr: float = 1e-6
+    freeze_ss: int = 400000
+    # staged decay (depth script) instead of exponential when set:
+    start_decay_lrate: Optional[int] = None
+    end_decay_lrate: Optional[int] = None
+
+    def fine_schedule(self):
+        if self.start_decay_lrate is not None:
+            return optim.staged_decay_schedule(
+                self.lrate, self.start_decay_lrate, self.end_decay_lrate
+            )
+        return optim.exp_decay_schedule(self.lrate, self.lrate_decay)
+
+    def coarse_schedule(self):
+        base = self.coarse_lrate if self.fix_coarse_lr_decay else self.lrate
+        return optim.exp_decay_schedule(base, self.lrate_decay)
+
+    def make_optimizers(self):
+        fine = optim.make_adam(self.fine_schedule(), self.grad_clip_value)
+        coarse = optim.make_adam(self.coarse_schedule(), self.grad_clip_value)
+        ss = optim.make_adam(lambda _: self.scaleshift_lr)
+        return fine, coarse, ss
+
+
+def init_state(key: jax.Array, setup: TrainSetup, n_images: int = 0) -> TrainState:
+    kc, kf = jax.random.split(key)
+    params_c = init_nerf_params(kc, setup.mcfg)
+    params_f = (
+        init_nerf_params(kf, setup.mcfg) if setup.rcfg.n_importance > 0 else None
+    )
+    opt_fine, opt_coarse, opt_ss_tx = setup.make_optimizers()
+
+    depth_scales = depth_shifts = opt_ss = None
+    if setup.space_carving_weight > 0 or n_images > 0:
+        depth_scales = jnp.ones((max(n_images, 1), 1), jnp.float32)
+        depth_shifts = jnp.zeros((max(n_images, 1), 1), jnp.float32)
+        opt_ss = opt_ss_tx.init((depth_scales, depth_shifts))
+
+    if setup.joint_optimizer or params_f is None:
+        opt_f = opt_fine.init((params_c, params_f))
+        opt_c = None
+    else:
+        opt_f = opt_fine.init(params_f)
+        opt_c = opt_coarse.init(params_c)
+
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params_coarse=params_c,
+        params_fine=params_f,
+        opt_coarse=opt_c,
+        opt_fine=opt_f,
+        depth_scales=depth_scales,
+        depth_shifts=depth_shifts,
+        opt_ss=opt_ss,
+    )
+
+
+def _render_loss(params_c, params_f, batch, key, setup: TrainSetup,
+                 scale=None, shift=None, sc_weight=None):
+    """Forward + loss.  batch: dict(rays [R,8|11], target [R,3], and for
+    depth mode target_h [H,R,1], sc_mask [R], cached_u or None).
+    sc_weight: traced space-carving weight (0 during warm start)."""
+    ret = render.render_rays(
+        params_c, params_f, batch["rays"], key, setup.mcfg, setup.rcfg,
+        cached_u=batch.get("cached_u"),
+    )
+    img_loss = img2mse(ret["rgb_map"], batch["target"])
+    loss = img_loss
+    metrics = {"img_loss": img_loss, "psnr": mse2psnr(img_loss)}
+
+    if setup.space_carving_weight > 0.0:
+        target_h = batch["target_h"]
+        if scale is not None:
+            target_h = target_h * scale + shift
+        sc = losses.space_carving_loss(
+            ret["pred_hyp"], target_h, is_joint=setup.is_joint,
+            mask=batch.get("sc_mask"), norm_p=setup.norm_p,
+            threshold=setup.space_carving_threshold,
+        )
+        w = setup.space_carving_weight if sc_weight is None else sc_weight
+        loss = loss + w * sc
+        metrics["space_carving_loss"] = sc
+
+    if "rgb0" in ret:
+        img_loss0 = img2mse(ret["rgb0"], batch["target"])
+        loss = loss + img_loss0
+        metrics["img_loss0"] = img_loss0
+        metrics["psnr0"] = mse2psnr(img_loss0)
+
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+def make_train_step(setup: TrainSetup):
+    """Build the jitted NVS train step: (state, batch, key) -> (state, metrics).
+
+    batch["rays"]: [R, 8|11]; batch["target"]: [R, 3].
+    """
+    opt_fine, opt_coarse, _ = setup.make_optimizers()
+
+    def step_fn(state: TrainState, batch, key):
+        if setup.joint_optimizer or state.params_fine is None:
+            def loss_fn(both):
+                pc, pf = both
+                return _render_loss(pc, pf, batch, key, setup)
+
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                (state.params_coarse, state.params_fine)
+            )
+            updates, opt_f = opt_fine.update(
+                grads, state.opt_fine, (state.params_coarse, state.params_fine)
+            )
+            pc, pf = optax.apply_updates(
+                (state.params_coarse, state.params_fine), updates
+            )
+            state = state.replace(
+                params_coarse=pc, params_fine=pf, opt_fine=opt_f,
+                step=state.step + 1,
+            )
+        else:
+            def loss_fn(pc, pf):
+                return _render_loss(pc, pf, batch, key, setup)
+
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(state.params_coarse, state.params_fine)
+            g_c, g_f = grads
+            up_f, opt_f = opt_fine.update(g_f, state.opt_fine, state.params_fine)
+            pf = optax.apply_updates(state.params_fine, up_f)
+            up_c, opt_c = opt_coarse.update(g_c, state.opt_coarse, state.params_coarse)
+            pc = optax.apply_updates(state.params_coarse, up_c)
+            state = state.replace(
+                params_coarse=pc, params_fine=pf,
+                opt_coarse=opt_c, opt_fine=opt_f, step=state.step + 1,
+            )
+        return state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_depth_train_step(setup: TrainSetup):
+    """Depth-supervised step (reference run_nerf_sample_based_depth.py:
+    1102-1161): one Adam over both MLPs with elementwise grad clip, plus a
+    scale/shift Adam stepped only while step < freeze_ss; the space-carving
+    target is ``target_h * scale[img] + shift[img]``.
+
+    batch adds: target_h [H,R,1], sc_mask [R], img_idx (scalar int),
+    optionally cached_u [R,N].
+    """
+    opt_fine, _, opt_ss_tx = setup.make_optimizers()
+
+    def step_fn(state: TrainState, batch, key):
+        img_idx = batch["img_idx"]
+        scale = state.depth_scales[img_idx]
+        shift = state.depth_shifts[img_idx]
+
+        # space carving active only after the warm start
+        # (run_nerf_sample_based_depth.py:1142; reference iteration
+        # i == state.step + 1, so `i > warm_start` is `step >= warm_start`)
+        sc_weight = jnp.where(
+            state.step >= setup.warm_start_nerf, setup.space_carving_weight, 0.0
+        )
+
+        def loss_fn(both, sc, sh):
+            pc, pf = both
+            return _render_loss(
+                pc, pf, batch, key, setup, scale=sc, shift=sh,
+                sc_weight=sc_weight,
+            )
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True
+        )((state.params_coarse, state.params_fine), scale, shift)
+        g_params, g_scale, g_shift = grads
+
+        updates, opt_f = opt_fine.update(
+            g_params, state.opt_fine, (state.params_coarse, state.params_fine)
+        )
+        pc, pf = optax.apply_updates(
+            (state.params_coarse, state.params_fine), updates
+        )
+
+        # scale/shift update: scatter the per-image grads into full tensors
+        g_scales = jnp.zeros_like(state.depth_scales).at[img_idx].set(g_scale)
+        g_shifts = jnp.zeros_like(state.depth_shifts).at[img_idx].set(g_shift)
+        up_ss, opt_ss = opt_ss_tx.update(
+            (g_scales, g_shifts), state.opt_ss,
+            (state.depth_scales, state.depth_shifts),
+        )
+        new_sc, new_sh = optax.apply_updates(
+            (state.depth_scales, state.depth_shifts), up_ss
+        )
+        # reference steps optimizer_ss while i < freeze_ss (:1160), i.e.
+        # frozen once step + 1 >= freeze_ss
+        frozen = state.step + 1 >= setup.freeze_ss
+        new_sc = jnp.where(frozen, state.depth_scales, new_sc)
+        new_sh = jnp.where(frozen, state.depth_shifts, new_sh)
+
+        state = state.replace(
+            params_coarse=pc, params_fine=pf, opt_fine=opt_f,
+            depth_scales=new_sc, depth_shifts=new_sh, opt_ss=opt_ss,
+            step=state.step + 1,
+        )
+        return state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,))
