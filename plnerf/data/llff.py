@@ -1,0 +1,230 @@
+"""LLFF forward-facing dataset loader.
+
+Behavioral reference: load_llff.py (poses_bounds.npy layout, axis fixup,
+bd rescale by 1/(bds.min * bd_factor), pose recentering around the average
+camera, spherification for 360 scenes, spiral render path).  Deviation
+(documented): image minification uses cv2.INTER_AREA in-process instead of
+shelling out to ImageMagick ``mogrify`` (load_llff.py:8-57) — same cache
+directory layout (``images_{factor}/``), no external binary dependency.
+"""
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import numpy as np
+
+
+def _normalize(v):
+    return v / np.linalg.norm(v)
+
+
+def _view_matrix(z, up, pos):
+    vec2 = _normalize(z)
+    vec0 = _normalize(np.cross(up, vec2))
+    vec1 = _normalize(np.cross(vec2, vec0))
+    return np.stack([vec0, vec1, vec2, pos], 1)
+
+
+def _poses_avg(poses):
+    hwf = poses[0, :3, -1:]
+    center = poses[:, :3, 3].mean(0)
+    vec2 = _normalize(poses[:, :3, 2].sum(0))
+    up = poses[:, :3, 1].sum(0)
+    return np.concatenate([_view_matrix(vec2, up, center), hwf], 1)
+
+
+def _recenter_poses(poses):
+    poses_ = poses + 0
+    bottom = np.reshape([0, 0, 0, 1.0], [1, 4])
+    c2w = _poses_avg(poses)
+    c2w = np.concatenate([c2w[:3, :4], bottom], -2)
+    bottom = np.tile(np.reshape(bottom, [1, 1, 4]), [poses.shape[0], 1, 1])
+    p44 = np.concatenate([poses[:, :3, :4], bottom], -2)
+    p44 = np.linalg.inv(c2w) @ p44
+    poses_[:, :3, :4] = p44[:, :3, :4]
+    return poses_
+
+
+def _spiral_path(c2w, up, rads, focal, zrate, rots, N):
+    out = []
+    rads = np.array(list(rads) + [1.0])
+    hwf = c2w[:, 4:5]
+    for theta in np.linspace(0.0, 2.0 * np.pi * rots, N + 1)[:-1]:
+        c = np.dot(
+            c2w[:3, :4],
+            np.array([np.cos(theta), -np.sin(theta), -np.sin(theta * zrate), 1.0])
+            * rads,
+        )
+        z = _normalize(c - np.dot(c2w[:3, :4], np.array([0, 0, -focal, 1.0])))
+        out.append(np.concatenate([_view_matrix(z, up, c), hwf], 1))
+    return np.stack(out, 0)
+
+
+def _spherify(poses, bds):
+    p34_to_44 = lambda p: np.concatenate(
+        [p, np.tile(np.reshape(np.eye(4)[-1], [1, 1, 4]), [p.shape[0], 1, 1])], 1
+    )
+    rays_d = poses[:, :3, 2:3]
+    rays_o = poses[:, :3, 3:4]
+
+    # point minimizing distance to all camera axes
+    A_i = np.eye(3) - rays_d * np.transpose(rays_d, [0, 2, 1])
+    b_i = -A_i @ rays_o
+    pt_mindist = np.squeeze(
+        -np.linalg.inv((np.transpose(A_i, [0, 2, 1]) @ A_i).mean(0))
+        @ b_i.mean(0)
+    )
+
+    center = pt_mindist
+    up = (poses[:, :3, 3] - center).mean(0)
+    vec0 = _normalize(up)
+    vec1 = _normalize(np.cross([0.1, 0.2, 0.3], vec0))
+    vec2 = _normalize(np.cross(vec0, vec1))
+    c2w = np.stack([vec1, vec2, vec0, center], 1)
+
+    poses_reset = np.linalg.inv(p34_to_44(c2w[None])) @ p34_to_44(poses[:, :3, :4])
+    rad = np.sqrt(np.mean(np.sum(np.square(poses_reset[:, :3, 3]), -1)))
+
+    sc = 1.0 / rad
+    poses_reset[:, :3, 3] *= sc
+    bds = bds * sc
+    rad *= sc
+
+    centroid = np.mean(poses_reset[:, :3, 3], 0)
+    zh = centroid[2]
+    radcircle = np.sqrt(rad ** 2 - zh ** 2)
+    new_poses = []
+    for th in np.linspace(0.0, 2.0 * np.pi, 120):
+        camorigin = np.array(
+            [radcircle * np.cos(th), radcircle * np.sin(th), zh]
+        )
+        up = np.array([0, 0, -1.0])
+        vec2 = _normalize(camorigin)
+        vec0 = _normalize(np.cross(vec2, up))
+        vec1 = _normalize(np.cross(vec2, vec0))
+        new_poses.append(np.stack([vec0, vec1, vec2, camorigin], 1))
+    new_poses = np.stack(new_poses, 0)
+
+    new_poses = np.concatenate(
+        [new_poses,
+         np.broadcast_to(poses[0, :3, -1:], new_poses[:, :3, -1:].shape)], -1
+    )
+    poses_reset = np.concatenate(
+        [poses_reset[:, :3, :4],
+         np.broadcast_to(poses[0, :3, -1:], poses_reset[:, :3, -1:].shape)], -1
+    )
+    return poses_reset, new_poses, bds
+
+
+def _minify(basedir: str, factor: int):
+    """Cache downsampled images under images_{factor}/ using cv2."""
+    import cv2
+
+    out_dir = os.path.join(basedir, f"images_{factor}")
+    if os.path.exists(out_dir):
+        return
+    src_dir = os.path.join(basedir, "images")
+    names = sorted(
+        f for f in os.listdir(src_dir)
+        if f.lower().endswith((".jpg", ".jpeg", ".png"))
+    )
+    os.makedirs(out_dir)
+    for name in names:
+        img = cv2.imread(os.path.join(src_dir, name), cv2.IMREAD_UNCHANGED)
+        h, w = img.shape[:2]
+        small = cv2.resize(
+            img, (int(round(w / factor)), int(round(h / factor))),
+            interpolation=cv2.INTER_AREA,
+        )
+        base = os.path.splitext(name)[0]
+        cv2.imwrite(os.path.join(out_dir, base + ".png"), small)
+
+
+def _load_data(basedir: str, factor: int):
+    import imageio.v2 as imageio
+
+    poses_arr = np.load(os.path.join(basedir, "poses_bounds.npy"))
+    poses = poses_arr[:, :-2].reshape([-1, 3, 5]).transpose([1, 2, 0])
+    bds = poses_arr[:, -2:].transpose([1, 0])
+
+    sfx = ""
+    if factor is not None and factor != 1:
+        sfx = f"_{factor}"
+        _minify(basedir, factor)
+    else:
+        factor = 1
+
+    imgdir = os.path.join(basedir, "images" + sfx)
+    imgfiles = [
+        os.path.join(imgdir, f) for f in sorted(os.listdir(imgdir))
+        if f.lower().endswith((".jpg", ".jpeg", ".png"))
+    ]
+    if poses.shape[-1] != len(imgfiles):
+        raise ValueError(
+            f"pose/image count mismatch: {poses.shape[-1]} vs {len(imgfiles)}"
+        )
+
+    sh = imageio.imread(imgfiles[0]).shape
+    poses[:2, 4, :] = np.array(sh[:2]).reshape([2, 1])
+    poses[2, 4, :] = poses[2, 4, :] * 1.0 / factor
+
+    imgs = np.stack(
+        [imageio.imread(f)[..., :3] / 255.0 for f in imgfiles], -1
+    )
+    return poses, bds, imgs
+
+
+def load_llff_data(
+    basedir: str, factor: int = 8, recenter: bool = True,
+    bd_factor: float = 0.75, spherify: bool = False,
+    path_zflat: bool = False,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
+    """Returns (images [N,H,W,3], poses [N,3,5], bds [N,2], render_poses,
+    i_test) — same contract as the reference load_llff_data."""
+    poses, bds, imgs = _load_data(basedir, factor)
+
+    # column swap: (down, right, back) -> (right, up, back)
+    poses = np.concatenate(
+        [poses[:, 1:2, :], -poses[:, 0:1, :], poses[:, 2:, :]], 1
+    )
+    poses = np.moveaxis(poses, -1, 0).astype(np.float32)
+    images = np.moveaxis(imgs, -1, 0).astype(np.float32)
+    bds = np.moveaxis(bds, -1, 0).astype(np.float32)
+
+    sc = 1.0 if bd_factor is None else 1.0 / (bds.min() * bd_factor)
+    poses[:, :3, 3] *= sc
+    bds = bds * sc
+
+    if recenter:
+        poses = _recenter_poses(poses)
+
+    if spherify:
+        poses, render_poses, bds = _spherify(poses, bds)
+    else:
+        c2w = _poses_avg(poses)
+        up = _normalize(poses[:, :3, 1].sum(0))
+        close_depth, inf_depth = bds.min() * 0.9, bds.max() * 5.0
+        dt = 0.75
+        focal = 1.0 / ((1.0 - dt) / close_depth + dt / inf_depth)
+
+        tt = poses[:, :3, 3]
+        rads = np.percentile(np.abs(tt), 90, 0)
+        c2w_path = c2w
+        n_views, n_rots = 120, 2
+        if path_zflat:
+            zloc = -close_depth * 0.1
+            c2w_path[:3, 3] = c2w_path[:3, 3] + zloc * c2w_path[:3, 2]
+            rads[2] = 0.0
+            n_rots = 1
+            n_views //= 2
+        render_poses = _spiral_path(
+            c2w_path, up, rads, focal, zrate=0.5, rots=n_rots, N=n_views
+        )
+
+    render_poses = np.array(render_poses, np.float32)
+    c2w = _poses_avg(poses)
+    dists = np.sum(np.square(c2w[:3, 3] - poses[:, :3, 3]), -1)
+    i_test = int(np.argmin(dists))
+    return images.astype(np.float32), poses.astype(np.float32), bds, \
+        render_poses, i_test

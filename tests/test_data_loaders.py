@@ -1,0 +1,83 @@
+"""Loader tests on synthesized on-disk fixtures in each reference layout."""
+import numpy as np
+import pytest
+
+import fixtures
+from plnerf.data import blender as blender_data
+from plnerf.data import llff as llff_data
+
+
+def test_load_blender(tmp_path):
+    basedir = fixtures.make_blender_scene(str(tmp_path), 3, 2, 2)
+    d = blender_data.load_blender(basedir, half_res=False, testskip=1)
+    assert d.images.shape == (7, 32, 32, 4)
+    i_train, i_val, i_test = d.i_split
+    assert list(i_train) == [0, 1, 2]
+    assert list(i_val) == [3, 4]
+    assert list(i_test) == [5, 6]
+    assert d.render_poses.shape == (40, 4, 4)
+    H, W, focal = d.hwf
+    assert (H, W) == (32, 32) and focal > 0
+
+    # white background compositing
+    rgb = blender_data.apply_background(d.images, True)
+    assert rgb.shape[-1] == 3
+    # background pixels must be white
+    assert rgb[0, 0, 0].min() > 0.95
+
+
+def test_load_blender_half_res(tmp_path):
+    basedir = fixtures.make_blender_scene(str(tmp_path), 2, 1, 1)
+    d = blender_data.load_blender(basedir, half_res=True)
+    assert d.images.shape[1:3] == (16, 16)
+    assert d.hwf[0] == 16
+
+
+def test_load_blender2(tmp_path):
+    basedir = fixtures.make_blender2_scene(str(tmp_path), 3, 2)
+    d = blender_data.load_blender2(basedir, half_res=False)
+    # no val json -> empty val split; test skip=8 keeps 1 of 2
+    assert d.images.shape[0] == 4
+    assert len(d.i_split[0]) == 3
+    assert d.intrinsics.shape == (4, 4)
+
+
+def test_load_blender2_depth(tmp_path):
+    basedir = fixtures.make_blender2_scene(str(tmp_path), 3, 2, with_depth=True)
+    d = blender_data.load_blender2_depth(basedir, half_res=False)
+    assert d.depths is not None and d.valid_depths is not None
+    assert d.depths.shape[:3] == d.images.shape[:3]
+    # stored constant depth 3.5 within [near, far] -> all valid, value ~3.5
+    assert d.valid_depths.all()
+    # quantization step of the 255-scale encoding is max_depth/255 ~ 0.031
+    np.testing.assert_allclose(d.depths, 3.5, atol=0.02)
+
+
+def test_load_fixed_dist(tmp_path):
+    basedir = fixtures.make_fixed_dist_scene(str(tmp_path), dists=(0.25, 1.0))
+    d = blender_data.load_blender_fixed_dist(
+        basedir, half_res=False, train_dist=1.0, test_dist=0.25)
+    # train 2 imgs, no val, test skip=4 keeps 1 of 2
+    assert d.images.shape[0] == 3
+    assert len(d.i_split[2]) == 1
+
+
+def test_load_llff(tmp_path):
+    basedir = fixtures.make_llff_scene(str(tmp_path), n=6)
+    images, poses, bds, render_poses, i_test = llff_data.load_llff_data(
+        basedir, factor=1, recenter=True, bd_factor=0.75)
+    assert images.shape == (6, 32, 32, 3)
+    assert poses.shape == (6, 3, 5)
+    assert bds.shape == (6, 2)
+    assert render_poses.shape[0] == 120
+    assert 0 <= i_test < 6
+    # bd rescale: min bound * 0.75 -> 1/sc makes min bound 1/0.75
+    np.testing.assert_allclose(bds.min(), 1.0 / 0.75, rtol=1e-5)
+
+
+def test_load_llff_spherify(tmp_path):
+    basedir = fixtures.make_llff_scene(str(tmp_path), n=6)
+    images, poses, bds, render_poses, i_test = llff_data.load_llff_data(
+        basedir, factor=1, recenter=True, spherify=True)
+    assert render_poses.shape[0] == 120
+    assert poses.shape == (6, 3, 5)
