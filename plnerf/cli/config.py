@@ -1,0 +1,206 @@
+"""Config/flag system: configargparse-compatible parsing without the
+dependency, plus the args.json round-trip.
+
+Reference: ``config_parser()`` (run_plnerf.py:761-916) with configargparse's
+``--config file.txt`` layering (flags in the file are defaults; explicit CLI
+flags win), ``args.json`` dumped at train start (:928-931) and re-loaded at
+test/video time with a fixed set of CLI overrides kept (:933-975).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shlex
+import sys
+from typing import List, Optional, Sequence
+
+
+def read_config_file(path: str) -> dict:
+    """Parse a configargparse-style txt: ``key = value`` per line, ``#``
+    comments; bare ``key`` lines mean True."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            if "=" in line:
+                k, v = line.split("=", 1)
+                out[k.strip()] = v.strip()
+            else:
+                out[line] = "True"
+    return out
+
+
+class ConfigArgumentParser(argparse.ArgumentParser):
+    """argparse with configargparse's file-layering behavior for the subset
+    the reference uses: a ``--config`` txt whose entries act as defaults."""
+
+    def parse_args(self, args: Optional[Sequence[str]] = None,  # type: ignore[override]
+                   namespace=None):
+        argv = list(sys.argv[1:] if args is None else args)
+        # find --config without consuming other flags
+        pre = argparse.ArgumentParser(add_help=False)
+        pre.add_argument("--config", type=str, default=None)
+        known, _ = pre.parse_known_args(argv)
+        if known.config:
+            file_vals = read_config_file(known.config)
+            defaults = {}
+            for action in self._actions:
+                if action.dest in file_vals:
+                    raw = file_vals[action.dest]
+                    if isinstance(action, (argparse._StoreTrueAction,
+                                           argparse._StoreFalseAction)):
+                        defaults[action.dest] = raw.lower() in (
+                            "true", "1", "yes")
+                    elif action.type is not None:
+                        defaults[action.dest] = action.type(raw)
+                    elif action.nargs in ("*", "+"):
+                        defaults[action.dest] = shlex.split(raw)
+                    else:
+                        defaults[action.dest] = raw
+            unknown = set(file_vals) - {a.dest for a in self._actions}
+            if unknown:
+                raise SystemExit(
+                    f"unknown keys in config file {known.config}: "
+                    f"{sorted(unknown)}"
+                )
+            self.set_defaults(**defaults)
+        ns = super().parse_args(argv, namespace)
+        return ns
+
+
+def add_base_flags(parser: ConfigArgumentParser) -> None:
+    """The shared NVS flag surface (reference run_plnerf.py:766-916)."""
+    a = parser.add_argument
+    a("--task", default="train", type=str,
+      help='train | test | test_fixed_dist | test_samples_error | video')
+    a("--config", type=str, default=None, help="config file path")
+    a("--expname", type=str, default=None)
+    a("--ckpt_dir", type=str, default="")
+    a("--scene_id", type=str, default="lego")
+    a("--data_dir", type=str, default="../nerf_synthetic")
+    a("--dataset", type=str, default="blender")
+    # training
+    a("--netdepth", type=int, default=8)
+    a("--netwidth", type=int, default=256)
+    a("--netdepth_fine", type=int, default=8)
+    a("--netwidth_fine", type=int, default=256)
+    a("--N_rand", type=int, default=32 * 32 * 4)
+    a("--lrate", type=float, default=5e-4)
+    a("--coarse_lrate", type=float, default=5e-4)
+    a("--lrate_decay", type=int, default=250)
+    a("--chunk", type=int, default=1024 * 32)
+    a("--netchunk", type=int, default=1024 * 64)
+    a("--no_batching", action="store_true")
+    a("--no_reload", action="store_true")
+    a("--ft_path", type=str, default=None)
+    # rendering
+    a("--N_samples", type=int, default=64)
+    a("--N_importance", type=int, default=128)
+    a("--perturb", type=float, default=1.0)
+    a("--use_viewdirs", action="store_true")
+    a("--i_embed", type=int, default=0)
+    a("--multires", type=int, default=10)
+    a("--multires_views", type=int, default=4)
+    a("--raw_noise_std", type=float, default=0.0)
+    a("--render_only", action="store_true")
+    a("--render_test", action="store_true")
+    a("--render_factor", type=int, default=0)
+    a("--precrop_iters", type=int, default=0)
+    a("--precrop_frac", type=float, default=0.5)
+    # dataset
+    a("--testskip", type=int, default=1)
+    a("--white_bkgd", action="store_true")
+    a("--half_res", action="store_true")
+    a("--factor", type=int, default=8)
+    a("--no_ndc", action="store_true")
+    a("--lindisp", action="store_true")
+    a("--spherify", action="store_true")
+    a("--llffhold", type=int, default=8)
+    # logging / saving
+    a("--num_iterations", type=int, default=500000)
+    a("--i_print", type=int, default=100)
+    a("--i_img", type=int, default=600000)
+    a("--i_weights", type=int, default=100000)
+    a("--i_testset", type=int, default=500000)
+    a("--i_video", type=int, default=500000)
+    # PWL
+    a("--mode", type=str, default="constant")
+    a("--color_mode", type=str, default="midpoint")
+    a("--quad_solution_v2", default=True, type=bool)
+    a("--zero_tol", type=float, default=1e-4)
+    a("--epsilon", type=float, default=1e-3)
+    a("--set_near_plane", default=2.0, type=float)
+    a("--constant_init", type=int, default=1000)
+    a("--test_dist", default=1.0, type=float)
+    a("--eval_scene_id", type=str,
+      default="chair_rgba_fixdist_nv100_dist0.25-1.0-4_depth_sfn")
+    a("--eval_data_dir", type=str,
+      default="../nerf_synthetic/fixed_dist_new-rgba/")
+    # DTU
+    a("--dtu_scene_id", type=int, default=21)
+    a("--num_train", type=int, default=40)
+    a("--dtu_split", type=str, default=None)
+    # --- TPU-native additions (not in reference) ---
+    a("--lpips_weights", type=str, default=None,
+      help="torch state-dict with AlexNet+lin weights for LPIPS eval")
+    a("--mlp_dtype", type=str, default="float32",
+      help="float32 | bfloat16 matmul dtype for the NeRF MLP")
+    a("--use_pallas", action="store_true",
+      help="use the fused Pallas MLP kernel on TPU")
+    a("--no_mesh", action="store_true",
+      help="disable the device mesh (single-chip even if more visible)")
+    a("--seed", type=int, default=0)
+
+
+def config_parser() -> ConfigArgumentParser:
+    parser = ConfigArgumentParser()
+    add_base_flags(parser)
+    return parser
+
+
+# CLI fields preserved (from the command line) when reloading args.json for
+# a non-train task — reference run_plnerf.py:937-975.
+_TEST_OVERRIDES = [
+    "task", "data_dir", "ckpt_dir", "set_near_plane", "dataset",
+    "test_dist", "scene_id", "white_bkgd", "eval_scene_id",
+    "eval_data_dir", "testskip",
+]
+
+
+def resolve_args(args: argparse.Namespace) -> argparse.Namespace:
+    """Train: dump args.json into <ckpt_dir>/<expname>/.  Other tasks:
+    reload args.json and keep only the ``_TEST_OVERRIDES`` CLI fields."""
+    if args.task == "train":
+        if args.expname is None:
+            import datetime
+            import time
+
+            args.expname = "{}_{}".format(
+                datetime.datetime.fromtimestamp(time.time()).strftime(
+                    "%Y%m%d_%H%M%S"), args.scene_id)
+        exp_dir = os.path.join(args.ckpt_dir, args.expname)
+        os.makedirs(exp_dir, exist_ok=True)
+        with open(os.path.join(exp_dir, "args.json"), "w") as f:
+            json.dump(vars(args), f, indent=4)
+        if args.config is not None and os.path.isfile(args.config):
+            with open(os.path.join(exp_dir, "config.txt"), "w") as f:
+                f.write(open(args.config).read())
+        return args
+
+    if args.expname is None:
+        raise SystemExit("Error: Specify experiment name for test or video")
+    keep = {k: getattr(args, k) for k in _TEST_OVERRIDES if hasattr(args, k)}
+    args_file = os.path.join(args.ckpt_dir, args.expname, "args.json")
+    with open(args_file) as f:
+        loaded = json.load(f)
+    merged = argparse.Namespace(**loaded)
+    for k, v in keep.items():
+        setattr(merged, k, v)
+    # fields added after a checkpoint was written default sensibly
+    for k, v in vars(args).items():
+        if not hasattr(merged, k):
+            setattr(merged, k, v)
+    return merged

@@ -1,0 +1,106 @@
+"""Dataset dispatch for the CLI drivers.
+
+Mirrors the reference driver's dataset branches (run_plnerf.py:981-1128):
+llff (NDC bounds), blender / blender2 / blender_fixeddist (near from
+--set_near_plane, far 6, white-bkgd composite), DTU / DTU2 (split json
+dump).  Returns a uniform bundle the tasks consume.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..data import blender as dblender
+from ..data import dtu as ddtu
+from ..data import llff as dllff
+from ..data.blender import SceneData
+
+
+@dataclasses.dataclass
+class DatasetBundle:
+    data: SceneData
+    near: float
+    far: float
+    ndc: bool = False
+    i_train: np.ndarray = None
+    i_val: np.ndarray = None
+    i_test: np.ndarray = None
+
+
+def _composite(images: np.ndarray, white_bkgd: bool) -> np.ndarray:
+    if images.shape[-1] == 4:
+        if white_bkgd:
+            return images[..., :3] * images[..., -1:] + (1.0 - images[..., -1:])
+        return images[..., :3]
+    return images
+
+
+def load_dataset(args) -> DatasetBundle:
+    scene_dir = os.path.join(args.data_dir, args.scene_id)
+
+    if args.dataset == "llff":
+        data = dllff.load_llff_data(
+            scene_dir, factor=args.factor, recenter=True, bd_factor=0.75,
+            spherify=args.spherify,
+        )
+        n = data.images.shape[0]
+        if args.llffhold > 0:
+            i_test = np.arange(n)[:: args.llffhold]
+        else:
+            i_test = np.asarray(data.i_split[2])
+        i_val = i_test
+        i_train = np.array(
+            [i for i in range(n) if i not in i_test and i not in i_val]
+        )
+        bds = data.bds if hasattr(data, "bds") else None
+        if args.no_ndc:
+            near = float(np.min(bds) * 0.9) if bds is not None else 0.1
+            far = float(np.max(bds) * 1.0) if bds is not None else 10.0
+            ndc = False
+        else:
+            near, far, ndc = 0.0, 1.0, True
+        data.near, data.far = near, far
+        return DatasetBundle(data, near, far, ndc, i_train, i_val, i_test)
+
+    if args.dataset in ("blender", "blender2", "blender_fixeddist"):
+        if args.dataset == "blender":
+            data = dblender.load_blender(
+                scene_dir, half_res=args.half_res, testskip=args.testskip
+            )
+        elif args.dataset == "blender2":
+            data = dblender.load_blender2(scene_dir, half_res=args.half_res)
+        else:
+            data = dblender.load_blender_fixed_dist(
+                scene_dir, half_res=args.half_res, train_dist=1.0,
+                test_dist=args.test_dist,
+            )
+        data.images = _composite(data.images, args.white_bkgd)
+        near = float(args.set_near_plane)
+        far = 6.0
+        data.near, data.far = near, far
+        i_train, i_val, i_test = [np.asarray(s) for s in data.i_split]
+        return DatasetBundle(data, near, far, False, i_train, i_val, i_test)
+
+    if args.dataset in ("DTU", "DTU2"):
+        train_split = None
+        if args.dtu_split is not None:
+            with open(args.dtu_split) as f:
+                train_split = json.load(f)
+        loader = ddtu.load_dtu if args.dataset == "DTU" else ddtu.load_dtu2
+        data = loader(
+            args.data_dir, args.dtu_scene_id, num_train=args.num_train,
+            half_res=args.half_res, train_split=train_split,
+        )
+        data.images = _composite(data.images, args.white_bkgd)
+        i_train, i_test = [np.asarray(s) for s in data.i_split[:2]]
+        i_val = i_test
+        return DatasetBundle(
+            data, float(data.near), float(data.far), False,
+            i_train, i_val, i_test,
+        )
+
+    raise SystemExit(f"Unknown dataset type {args.dataset}")

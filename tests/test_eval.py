@@ -1,0 +1,160 @@
+"""Eval-harness tests: full-image renderer (single- and multi-device),
+metrics aggregation, file writers, camera-path/video rendering, LPIPS
+architecture, importance-sampling-error eval."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from plnerf.core.config import ModelConfig, RenderConfig
+from plnerf.data.blender import SceneData
+from plnerf.data.synthetic import make_sphere_dataset
+from plnerf.eval import images as EI
+from plnerf.eval import metrics as M
+from plnerf.eval.lpips import LPIPS
+from plnerf.parallel import mesh as pmesh
+from plnerf.train.step import TrainSetup, init_state
+
+H = W = 24
+MCFG = ModelConfig(netdepth=2, netwidth=16, multires=4, multires_views=2)
+RCFG = RenderConfig(n_samples=8, n_importance=8, mode="linear",
+                    perturb=False, white_bkgd=False)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    images, poses, hwf, K = make_sphere_dataset(n_views=4, H=H, W=W)
+    return SceneData(
+        images=images, poses=poses, render_poses=poses[:2], hwf=hwf,
+        i_split=[np.array([0, 1]), np.array([2]), np.array([3])],
+        K=K, near=2.0, far=6.0,
+    )
+
+
+@pytest.fixture(scope="module")
+def params():
+    st = init_state(jax.random.PRNGKey(0), TrainSetup(mcfg=MCFG, rcfg=RCFG))
+    return st.params_coarse, st.params_fine
+
+
+def test_render_image_shapes(scene, params):
+    pc, pf = params
+    out = EI.render_image(pc, pf, scene.poses[0], scene.hwf, scene.K,
+                          MCFG, RCFG, near=2.0, far=6.0, chunk=128)
+    assert out["rgb_map"].shape == (H, W, 3)
+    assert out["depth_map"].shape == (H, W)
+    assert out["rgb0"].shape == (H, W, 3)
+    assert np.isfinite(out["rgb_map"]).all()
+
+
+def test_render_image_sharded_matches_single(scene, params):
+    pc, pf = params
+    kw = dict(near=2.0, far=6.0, chunk=64)
+    single = EI.render_image(pc, pf, scene.poses[0], scene.hwf, scene.K,
+                             MCFG, RCFG, **kw)
+    mesh = pmesh.make_mesh()
+    assert len(mesh.devices.flat) == 8
+    sharded = EI.render_image(pc, pf, scene.poses[0], scene.hwf, scene.K,
+                              MCFG, RCFG, mesh=mesh, **kw)
+    np.testing.assert_allclose(
+        single["rgb_map"], sharded["rgb_map"], atol=1e-5
+    )
+
+
+def test_render_factor_downsamples(scene, params):
+    pc, pf = params
+    out = EI.render_image(pc, pf, scene.poses[0], scene.hwf, scene.K,
+                          MCFG, RCFG, near=2.0, far=6.0, chunk=64,
+                          render_factor=2)
+    assert out["rgb_map"].shape == (H // 2, W // 2, 3)
+
+
+def test_render_images_with_metrics_and_writer(scene, params, tmp_path):
+    pc, pf = params
+    mean_metrics, res = EI.render_images_with_metrics(
+        pc, pf, scene, scene.i_split[2], MCFG, RCFG, chunk=128,
+        verbose=False,
+    )
+    for key in ("img_loss", "psnr", "ssim", "img_loss0", "psnr0"):
+        assert mean_metrics.has(key), key
+    assert res["rgbs"].shape == (1, H, W, 3)
+    assert res["rgbs0"].shape == (1, H, W, 3)
+
+    out_dir = str(tmp_path / "test_images")
+    EI.write_images_with_metrics(res, mean_metrics, out_dir)
+    assert os.path.exists(os.path.join(out_dir, "0_rgb.png"))
+    assert os.path.exists(os.path.join(out_dir, "0_gt.png"))
+    assert os.path.exists(os.path.join(out_dir, "0_d.png"))
+    assert os.path.exists(os.path.join(out_dir, "metrics.txt"))
+    # 16-bit depth png round-trips
+    import cv2
+
+    d = cv2.imread(os.path.join(out_dir, "0_d.png"), cv2.IMREAD_UNCHANGED)
+    assert d.dtype == np.uint16
+
+
+def test_perfect_prediction_metrics(scene, params):
+    """PSNR inf / SSIM 1 when the 'render' equals the target."""
+    img = scene.images[0]
+    assert M.psnr(img, img) == float("inf")
+    assert abs(M.ssim(img, img) - 1.0) < 1e-9
+
+
+def test_test_images_samples(scene, params, tmp_path):
+    pc, pf = params
+    out_dir = str(tmp_path / "samples_err")
+    mt = EI.test_images_samples(
+        pc, pf, scene, scene.i_split[2], MCFG, RCFG, out_dir, chunk=128,
+        verbose=False,
+    )
+    assert mt.has("importance_sampling_error")
+    assert np.isfinite(mt.get("importance_sampling_error"))
+    assert os.path.exists(os.path.join(out_dir, "metrics_expecteddepth.txt"))
+
+
+def test_render_path_and_video(scene, params, tmp_path):
+    pc, pf = params
+    savedir = str(tmp_path / "frames")
+    rgbs, disps = EI.render_path(
+        pc, pf, scene.render_poses, scene.hwf, scene.K, MCFG, RCFG,
+        near=2.0, far=6.0, chunk=128, savedir=savedir, verbose=False,
+    )
+    assert rgbs.shape == (2, H, W, 3)
+    assert disps.shape == (2, H, W)
+    assert os.path.exists(os.path.join(savedir, "000.png"))
+    EI.write_video(str(tmp_path / "video.mp4"), rgbs, fps=2)
+    EI.write_depth_video_frames(str(tmp_path / "dv"), disps, far=6.0)
+    assert os.path.exists(os.path.join(str(tmp_path / "dv"),
+                                       "depth_000.png"))
+
+
+def test_lpips_architecture():
+    lp = LPIPS.init_random(jax.random.PRNGKey(0))
+    a = np.random.default_rng(0).uniform(size=(64, 64, 3)).astype(np.float32)
+    b = np.random.default_rng(1).uniform(size=(64, 64, 3)).astype(np.float32)
+    assert lp(a, a) < 1e-6                      # identity -> 0
+    d = lp(a, b)
+    assert np.isfinite(d) and d > 0
+    assert abs(lp(a, b) - lp(b, a)) < 1e-5       # symmetric
+
+
+def test_lpips_from_torch_state_dict():
+    """Round-trip: export random params in torchvision naming, reload."""
+    torch = pytest.importorskip("torch")
+    lp = LPIPS.init_random(jax.random.PRNGKey(1))
+    conv_idx = [0, 3, 6, 8, 10]
+    sd = {}
+    for i, ci in enumerate(conv_idx):
+        w = np.asarray(lp.params[f"conv{i}_w"]).transpose(3, 2, 0, 1)
+        sd[f"features.{ci}.weight"] = torch.tensor(w)
+        sd[f"features.{ci}.bias"] = torch.tensor(
+            np.asarray(lp.params[f"conv{i}_b"]))
+    for i in range(5):
+        w = np.asarray(lp.params[f"lin{i}_w"]).T[:, :, None, None]
+        sd[f"lin{i}.model.1.weight"] = torch.tensor(w)
+    lp2 = LPIPS.from_torch_state_dict(sd)
+    a = np.random.default_rng(2).uniform(size=(32, 32, 3)).astype(np.float32)
+    b = np.random.default_rng(3).uniform(size=(32, 32, 3)).astype(np.float32)
+    assert abs(lp(a, b) - lp2(a, b)) < 1e-5
