@@ -39,6 +39,17 @@ def _composite(images: np.ndarray, white_bkgd: bool) -> np.ndarray:
     return images
 
 
+def _ensure_K(data: SceneData) -> SceneData:
+    """Fill the intrinsics matrix from hwf when the loader didn't
+    (reference run_plnerf.py:1138-1143)."""
+    if data.K is None:
+        H, W, focal = int(data.hwf[0]), int(data.hwf[1]), float(data.hwf[2])
+        data.K = np.array(
+            [[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]], np.float32
+        )
+    return data
+
+
 def load_dataset(args) -> DatasetBundle:
     scene_dir = os.path.join(args.data_dir, args.scene_id)
 
@@ -64,7 +75,7 @@ def load_dataset(args) -> DatasetBundle:
         else:
             near, far, ndc = 0.0, 1.0, True
         data.near, data.far = near, far
-        return DatasetBundle(data, near, far, ndc, i_train, i_val, i_test)
+        return DatasetBundle(_ensure_K(data), near, far, ndc, i_train, i_val, i_test)
 
     if args.dataset in ("blender", "blender2", "blender_fixeddist"):
         if args.dataset == "blender":
@@ -83,7 +94,7 @@ def load_dataset(args) -> DatasetBundle:
         far = 6.0
         data.near, data.far = near, far
         i_train, i_val, i_test = [np.asarray(s) for s in data.i_split]
-        return DatasetBundle(data, near, far, False, i_train, i_val, i_test)
+        return DatasetBundle(_ensure_K(data), near, far, False, i_train, i_val, i_test)
 
     if args.dataset in ("DTU", "DTU2"):
         train_split = None
@@ -99,7 +110,7 @@ def load_dataset(args) -> DatasetBundle:
         i_train, i_test = [np.asarray(s) for s in data.i_split[:2]]
         i_val = i_test
         return DatasetBundle(
-            data, float(data.near), float(data.far), False,
+            _ensure_K(data), float(data.near), float(data.far), False,
             i_train, i_val, i_test,
         )
 

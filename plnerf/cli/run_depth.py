@@ -1,0 +1,334 @@
+"""Depth-supervised (sample-based space-carving) driver — the TPU-native
+equivalent of the reference ``depth_supervised_exps/
+run_nerf_sample_based_depth.py``.
+
+Differences from the NVS driver, all mirrored from the reference:
+* positional ``task`` argument (:1258) and its own flag surface (:1256-1406)
+* pi-scaled positional encoding, multires 9 / no view encoding by default,
+  softplus(beta=10) density, Xavier init (model/run_nerf_helpers.py:89-205)
+* pixel-center rays with per-image vector intrinsics (:243-272)
+* one joint Adam over both MLPs with elementwise grad clip +-0.1 (:1156),
+  staged LR decay between start/end_decay_lrate (:1105-1109)
+* per-image depth scale/shift trained by their own Adam while
+  ``i < freeze_ss`` (:1072-1082,1160)
+* loss = mse + space_carving_weight * space-carving(pred quantiles vs
+  scaled GT-depth hypotheses) + mse0 (:1137-1153)
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..checkpoint import io as ckio
+from ..core.config import ModelConfig, RenderConfig
+from ..core import rays as raysmod
+from ..data import blender as dblender
+from ..eval import images as EI
+from ..eval.lpips import load_lpips
+from ..parallel import mesh as pmesh
+from ..train.step import TrainSetup, init_state, make_depth_train_step
+from ..utils.logging import MetricsLogger
+from .config import ConfigArgumentParser
+from .run_plnerf import _shard, get_mesh
+
+
+def config_parser() -> ConfigArgumentParser:
+    """Flag surface of the depth script (reference :1256-1406)."""
+    p = ConfigArgumentParser()
+    a = p.add_argument
+    a("task", type=str, nargs="?", default="train",
+      help='train | test | video | test_samples_error')
+    a("--config", type=str, default=None)
+    a("--expname", type=str, default=None)
+    a("--dataset", type=str, default="blender2_depth")
+    a("--netdepth", type=int, default=8)
+    a("--netwidth", type=int, default=256)
+    a("--netdepth_fine", type=int, default=8)
+    a("--netwidth_fine", type=int, default=256)
+    a("--N_rand", type=int, default=32 * 32)
+    a("--num_iterations", type=int, default=500000)
+    a("--lrate", type=float, default=5e-4)
+    a("--start_decay_lrate", type=int, default=400000)
+    a("--end_decay_lrate", type=int, default=500000)
+    a("--chunk", type=int, default=1024 * 32)
+    a("--netchunk_per_gpu", type=int, default=1024 * 64 * 4)
+    a("--no_reload", action="store_true")
+    a("--N_samples", type=int, default=256)
+    a("--N_importance", type=int, default=0)
+    a("--perturb", type=float, default=1.0)
+    a("--use_viewdirs", action="store_true", default=True)
+    a("--i_embed", type=int, default=0)
+    a("--multires", type=int, default=9)
+    a("--multires_views", type=int, default=0)
+    a("--raw_noise_std", type=float, default=0.0)
+    a("--lindisp", action="store_true", default=False)
+    a("--i_print", type=int, default=100)
+    a("--i_img", type=int, default=600000)
+    a("--i_weights", type=int, default=100000)
+    a("--ckpt_dir", type=str, default="")
+    a("--scene_id", type=str, default="chair")
+    a("--data_dir", type=str, default="")
+    a("--train_jsonfile", type=str, default="transforms_train.json")
+    a("--precrop_iters", type=int, default=0)
+    a("--precrop_frac", type=float, default=0.5)
+    a("--white_bkgd", action="store_true")
+    a("--half_res", action="store_true")
+    a("--random_seed", type=int, default=0)
+    a("--cimle_dir", type=str, default="")
+    a("--num_hypothesis", type=int, default=20)
+    a("--space_carving_weight", type=float, default=0.007)
+    a("--warm_start_nerf", type=int, default=0)
+    a("--scaleshift_lr", default=1e-6, type=float)
+    a("--scale_init", default=1.0, type=float)
+    a("--shift_init", default=0.0, type=float)
+    a("--freeze_ss", type=int, default=0)
+    a("--is_joint", default=False, type=bool)
+    a("--norm_p", type=int, default=2)
+    a("--space_carving_threshold", type=float, default=0.0)
+    a("--mask_corners", default=False, type=bool)
+    a("--input_ch_cam", type=int, default=0)
+    a("--opt_ch_cam", action="store_true", default=False)
+    a("--ch_cam_lr", default=1e-4, type=float)
+    a("--mode", type=str, default="constant")
+    a("--color_mode", type=str, default="midpoint")
+    a("--quad_solution_v2", default=True, type=bool)
+    a("--zero_tol", type=float, default=1e-4)
+    a("--epsilon", type=float, default=1e-3)
+    a("--set_near_plane", default=0.5, type=float)
+    a("--train_skip", default=1, type=int)
+    # TPU-native additions
+    a("--lpips_weights", type=str, default=None)
+    a("--mlp_dtype", type=str, default="float32")
+    a("--use_pallas", action="store_true")
+    a("--no_mesh", action="store_true")
+    return p
+
+
+def build_configs(args):
+    mcfg = ModelConfig(
+        netdepth=args.netdepth, netwidth=args.netwidth,
+        use_viewdirs=args.use_viewdirs, multires=args.multires,
+        multires_views=args.multires_views, i_embed=args.i_embed,
+        pi_bands=True, input_ch_cam=args.input_ch_cam,
+        density_activation="softplus10", init="xavier",
+    )
+    rcfg = RenderConfig(
+        n_samples=args.N_samples, n_importance=args.N_importance,
+        mode=args.mode, color_mode=args.color_mode, lindisp=args.lindisp,
+        perturb=args.perturb > 0.0, use_viewdirs=args.use_viewdirs,
+        white_bkgd=args.white_bkgd, raw_noise_std=args.raw_noise_std,
+        zero_tol=args.zero_tol, epsilon=args.epsilon,
+        compute_pred_hyp=args.space_carving_weight > 0.0,
+        is_joint=args.is_joint, trim_first_weight=True,
+        mlp_dtype=args.mlp_dtype, use_pallas_mlp=args.use_pallas,
+    )
+    setup = TrainSetup(
+        mcfg=mcfg, rcfg=rcfg, lrate=args.lrate,
+        joint_optimizer=True, grad_clip_value=0.1,
+        space_carving_weight=args.space_carving_weight,
+        warm_start_nerf=args.warm_start_nerf, is_joint=args.is_joint,
+        norm_p=args.norm_p,
+        space_carving_threshold=args.space_carving_threshold,
+        scaleshift_lr=args.scaleshift_lr, freeze_ss=args.freeze_ss,
+        start_decay_lrate=args.start_decay_lrate,
+        end_decay_lrate=args.end_decay_lrate,
+    )
+    return mcfg, rcfg, setup
+
+
+def load_depth_dataset(args):
+    scene_dir = os.path.join(args.data_dir, args.scene_id)
+    if args.dataset not in ("blender_depth", "blender2_depth"):
+        raise SystemExit(
+            f"Dataloader not implemented for dataset: {args.dataset}")
+    data = dblender.load_blender2_depth(
+        scene_dir, half_res=args.half_res, train_skip=args.train_skip,
+        near_plane=args.set_near_plane,
+    )
+    data.images = dblender.apply_background(data.images, args.white_bkgd)
+    # per-frame vector intrinsics are the K for the pixel-center convention
+    data.K = np.asarray(data.intrinsics[0])
+    return data
+
+
+def exp_dir(args) -> str:
+    return os.path.join(args.ckpt_dir, args.expname)
+
+
+def _make_depth_step(setup: TrainSetup, n_rand: int, near, far, mesh=None):
+    """Fused on-device: pick pixels of image img_i, build pixel-center rays
+    from its vector intrinsics, gather targets + depth hypotheses + mask,
+    then run the depth train step."""
+    base = make_depth_train_step(setup)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run(state, images, poses, intrinsics, hyp, sc_mask, img_i, key):
+        H, W = images.shape[1], images.shape[2]
+        kpix, ks = jax.random.split(key)
+        ky, kx = jax.random.split(kpix)
+        y = jax.random.randint(ky, (n_rand,), 0, H)
+        x = jax.random.randint(kx, (n_rand,), 0, W)
+        coords = jnp.stack([y, x], -1)
+        rays_o, rays_d = raysmod.get_rays_pixelcenter(
+            H, W, intrinsics[img_i], poses[img_i][:3, :4], coords
+        )
+        target = images[img_i, y, x]
+        target_h = hyp[img_i][:, y, x]            # [H_hyp, R, 1]
+        mask = sc_mask[img_i, y, x].astype(jnp.float32)
+        viewdirs = None
+        if setup.rcfg.use_viewdirs:
+            viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1,
+                                                keepdims=True)
+        rays = raysmod.pack_rays(rays_o, rays_d, near, far, viewdirs)
+        batch = {
+            "rays": _shard(rays, mesh), "target": _shard(target, mesh),
+            "target_h": target_h, "sc_mask": _shard(mask, mesh),
+            "img_idx": img_i,
+        }
+        if mesh is not None:
+            batch["target_h"] = jax.lax.with_sharding_constraint(
+                target_h, pmesh.NamedSharding(
+                    mesh, pmesh.P(None, pmesh.DATA_AXIS))
+            )
+        return base(state, batch, ks)
+
+    return run
+
+
+def run_training(args, data, setup, mcfg, rcfg):
+    i_train, i_val, i_test = [np.asarray(s) for s in data.i_split[:3]]
+    if len(i_val) == 0:
+        i_val = i_test
+    logger = MetricsLogger(exp_dir(args))
+    mesh = get_mesh(args)
+
+    state = init_state(jax.random.PRNGKey(args.random_seed), setup,
+                       n_images=data.images.shape[0])
+    if args.scale_init != 1.0:
+        state = state.replace(
+            depth_scales=state.depth_scales * args.scale_init)
+    if args.shift_init != 0.0:
+        state = state.replace(
+            depth_shifts=state.depth_shifts + args.shift_init)
+    start = 0
+    if not args.no_reload:
+        path = ckio.latest_checkpoint(exp_dir(args))
+        if path:
+            state = ckio.restore_checkpoint(path, state)
+            start = int(state.step)
+            print(f"Resumed from {path} at step {start}")
+    if mesh is not None:
+        state = pmesh.replicate(state, mesh)
+
+    # GT depth as the (single) space-carving hypothesis
+    # (reference :1068-1070: gt_depths_train unsqueezed to hypothesis dim)
+    hyp = jnp.asarray(data.gt_depths)[:, None, :, :, 0:1]  # [N,1,H,W,1]
+    sc_mask = jnp.asarray(
+        np.asarray(data.gt_valid_depths).astype(np.float32))
+    if sc_mask.ndim == 4:
+        sc_mask = sc_mask[..., 0]
+    images_j = jnp.asarray(data.images, jnp.float32)
+    poses_j = jnp.asarray(data.poses, jnp.float32)
+    intr_j = jnp.asarray(data.intrinsics, jnp.float32)
+
+    step = _make_depth_step(setup, args.N_rand, data.near, data.far, mesh)
+    key = jax.random.PRNGKey(args.random_seed)
+    rng = np.random.default_rng(args.random_seed)
+    t0 = time.time()
+    for i in range(start + 1, args.num_iterations + 1):
+        key, ks = jax.random.split(key)
+        img_i = int(rng.choice(i_train))
+        state, metrics = step(
+            state, images_j, poses_j, intr_j, hyp, sc_mask,
+            jnp.asarray(img_i), ks,
+        )
+        if i % args.i_print == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            m["steps_per_sec"] = args.i_print / max(time.time() - t0, 1e-9)
+            t0 = time.time()
+            m["depth_scale_mean"] = float(jnp.mean(state.depth_scales))
+            m["depth_shift_mean"] = float(jnp.mean(state.depth_shifts))
+            logger.scalars(i, m, prefix="train/")
+            print(f"[DEPTH TRAIN] Iter: {i} Loss: {m['loss']:.5f} "
+                  f"PSNR: {m['psnr']:.2f} SC: "
+                  f"{m.get('space_carving_loss', 0.0):.5f}")
+        if i % args.i_weights == 0:
+            print("Saved", ckio.save_checkpoint(exp_dir(args), i, state))
+    ckio.save_checkpoint(exp_dir(args), args.num_iterations, state)
+    logger.close()
+
+
+def run(args):
+    mcfg, rcfg, setup = build_configs(args)
+    data = load_depth_dataset(args)
+    if args.task == "train":
+        run_training(args, data, setup, mcfg, rcfg)
+        return
+    # eval tasks
+    state = init_state(jax.random.PRNGKey(args.random_seed), setup,
+                       n_images=data.images.shape[0])
+    path = ckio.latest_checkpoint(exp_dir(args))
+    if path:
+        state = ckio.restore_checkpoint(path, state)
+        print(f"Loaded {path}")
+    mesh = get_mesh(args)
+    i_test = np.asarray(data.i_split[2])
+    test_rcfg = EI.test_render_config(rcfg)
+    if args.task == "test":
+        lp = load_lpips(args.lpips_weights)
+        mm, res = EI.render_images_with_metrics(
+            state.params_coarse, state.params_fine, data, i_test, mcfg,
+            test_rcfg, chunk=args.chunk, mesh=mesh, lpips_fn=lp,
+            pixel_center=True,
+        )
+        result_dir = os.path.join(
+            exp_dir(args),
+            f"test_images_{args.mode}_{args.N_samples}_{args.N_importance}"
+            f"{args.scene_id}",
+        )
+        EI.write_images_with_metrics(res, mm, result_dir)
+    elif args.task == "test_samples_error":
+        result_dir = os.path.join(
+            exp_dir(args), f"test_samples_error_{args.N_importance}")
+        EI.test_images_samples(
+            state.params_coarse, state.params_fine, data, i_test, mcfg,
+            test_rcfg, result_dir, chunk=args.chunk, mesh=mesh,
+            pixel_center=True,
+        )
+    elif args.task == "video":
+        i_video = (np.asarray(data.i_split[3])
+                   if len(data.i_split) > 3 else i_test)
+        savedir = os.path.join(exp_dir(args), "video")
+        rgbs, disps = EI.render_path(
+            state.params_coarse, state.params_fine,
+            np.asarray(data.poses)[i_video], data.hwf, data.K, mcfg,
+            test_rcfg, near=data.near, far=data.far, chunk=args.chunk,
+            savedir=savedir, mesh=mesh, pixel_center=True,
+        )
+        EI.write_video(os.path.join(savedir, "video.mp4"), rgbs, fps=10)
+        # 16-bit + TURBO depth frames (reference render_video :283-300);
+        # depth = 1/disp with the renderer's disp floor
+        depths = np.where(disps > 1e-9, 1.0 / np.maximum(disps, 1e-9), 0.0)
+        EI.write_depth_video_frames(savedir, depths, far=data.far)
+    else:
+        raise SystemExit(f"Unknown task {args.task}")
+
+
+def main(argv=None):
+    from .config import resolve_args
+
+    args = config_parser().parse_args(argv)
+    # the depth script shares the args.json round-trip semantics
+    args = resolve_args(args)
+    run(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,388 @@
+"""PL-NeRF driver: train / test / test_fixed_dist / test_samples_error /
+video, the TPU-native equivalent of the reference ``run_plnerf.py`` CLI.
+
+Tasks (reference run_plnerf.py:919-1585):
+* ``train``     — two-Adam NVS training with constant-init warmup, precrop,
+                  both ray-batching policies, periodic ckpt/testset/video.
+* ``test``      — held-out views + PSNR/SSIM/LPIPS → pngs + metrics.txt.
+* ``test_fixed_dist``   — the quadrature-stability sweep over camera
+                  distances {0.25,0.5,0.75,1.0} with near planes
+                  {1e-4,0.5,1.0,2.0} (reference :1497-1560).
+* ``test_samples_error`` — importance-sampling error eval (:1562-1578).
+* ``video`` / ``--render_only`` — render_poses path → mp4.
+
+TPU design: the train step (batch construction + render + loss + Adam) is
+one jitted, donated-state device program; ray batches shard across the
+1-D mesh and XLA all-reduces gradients over ICI.  Static-config variants
+(precrop on/off x constant-init on/off) compile once each and are cached.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..checkpoint import io as ckio
+from ..core.config import ModelConfig, RenderConfig
+from ..eval import images as EI
+from ..eval.lpips import load_lpips
+from ..parallel import mesh as pmesh
+from ..train import batching
+from ..train.step import TrainSetup, init_state, make_train_step
+from ..utils.logging import MetricsLogger
+from .config import config_parser, resolve_args
+from .datasets import DatasetBundle, load_dataset
+
+
+def build_configs(args, vanilla: bool = False):
+    mcfg = ModelConfig(
+        netdepth=args.netdepth, netwidth=args.netwidth,
+        use_viewdirs=args.use_viewdirs, multires=args.multires,
+        multires_views=args.multires_views, i_embed=args.i_embed,
+    )
+    rcfg = RenderConfig(
+        n_samples=args.N_samples, n_importance=args.N_importance,
+        mode=args.mode,
+        color_mode=args.color_mode, lindisp=args.lindisp,
+        perturb=args.perturb > 0.0, use_viewdirs=args.use_viewdirs,
+        white_bkgd=args.white_bkgd, raw_noise_std=args.raw_noise_std,
+        zero_tol=args.zero_tol, epsilon=args.epsilon,
+        mlp_dtype=getattr(args, "mlp_dtype", "float32"),
+        use_pallas_mlp=getattr(args, "use_pallas", False),
+    )
+    setup = TrainSetup(
+        mcfg=mcfg, rcfg=rcfg, lrate=args.lrate,
+        coarse_lrate=args.coarse_lrate, lrate_decay=args.lrate_decay,
+        joint_optimizer=vanilla,
+    )
+    return mcfg, rcfg, setup
+
+
+def exp_dir(args) -> str:
+    return os.path.join(args.ckpt_dir, args.expname)
+
+
+def restore_or_init(args, setup: TrainSetup):
+    state = init_state(jax.random.PRNGKey(args.seed), setup)
+    start = 0
+    path = None
+    if args.ft_path:
+        path = args.ft_path
+    elif not args.no_reload:
+        path = ckio.latest_checkpoint(exp_dir(args))
+    if path and os.path.exists(path):
+        state = ckio.restore_checkpoint(path, state)
+        start = int(state.step)
+        print(f"Resumed from {path} at step {start}")
+    return state, start
+
+
+def get_mesh(args):
+    if getattr(args, "no_mesh", False) or len(jax.devices()) == 1:
+        return None
+    return pmesh.make_mesh()
+
+
+# ---------------------------------------------------------------------------
+# train
+# ---------------------------------------------------------------------------
+
+def _shard(x, mesh):
+    """Constrain the ray-batch axis onto the mesh so GSPMD splits the whole
+    render/backward pipeline across chips (grad psum inserted by XLA)."""
+    if mesh is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, pmesh.batch_sharded(mesh))
+
+
+def _make_sampled_step(setup: TrainSetup, K, near, far, n_rand,
+                       precrop: bool, precrop_frac: float, mesh=None):
+    """Fuse on-device batch sampling with the train step: one program."""
+    base = make_train_step(setup)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run(state, images, poses, i_train, key):
+        kb, ks = jax.random.split(key)
+        rays, target, _ = batching.sample_one_image_batch(
+            images, poses, K, i_train, kb, n_rand, near, far,
+            setup.rcfg.use_viewdirs, precrop, precrop_frac,
+        )
+        rays, target = _shard(rays, mesh), _shard(target, mesh)
+        return base(state, {"rays": rays, "target": target}, ks)
+
+    return run
+
+
+def _make_pool_step(setup: TrainSetup, near, far, n_rand, mesh=None):
+    base = make_train_step(setup)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run(state, pool, i_batch, key):
+        rays, target = batching.pool_batch(
+            pool, i_batch, n_rand, near, far, setup.rcfg.use_viewdirs
+        )
+        rays, target = _shard(rays, mesh), _shard(target, mesh)
+        return base(state, {"rays": rays, "target": target}, key)
+
+    return run
+
+
+def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
+                 mcfg: ModelConfig, rcfg: RenderConfig) -> None:
+    data = bundle.data
+    H, W = int(data.hwf[0]), int(data.hwf[1])
+    K = data.K if data.K is not None else np.array(
+        [[data.hwf[2], 0, 0.5 * W], [0, data.hwf[2], 0.5 * H], [0, 0, 1]],
+        np.float32,
+    )
+    state, start = restore_or_init(args, setup)
+    logger = MetricsLogger(exp_dir(args))
+    mesh = get_mesh(args)
+    if mesh is not None:
+        state = pmesh.replicate(state, mesh)
+
+    use_batching = not args.no_batching
+    n_rand = args.N_rand
+    key = jax.random.PRNGKey(args.seed)
+
+    # step variants: (constant_init x precrop) jit-cached via TrainSetup
+    def setup_variant(const_init: bool):
+        return dataclasses.replace(
+            setup, rcfg=dataclasses.replace(rcfg, constant_init=const_init)
+        )
+
+    if use_batching:
+        pool = batching.build_ray_pool(
+            np.asarray(data.images, np.float32), np.asarray(data.poses), K,
+            bundle.i_train, seed=args.seed,
+        )
+        if bundle.ndc:
+            # NDC pools need warped rays; warp once on host via jax
+            from ..core import rays as raysmod
+
+            ro, rd = jnp.asarray(pool[:, 0:3]), jnp.asarray(pool[:, 3:6])
+            ro, rd = raysmod.ndc_rays(H, W, float(data.hwf[2]), 1.0, ro, rd)
+            pool = np.concatenate(
+                [np.asarray(ro), np.asarray(rd), pool[:, 6:9]], axis=-1
+            ).astype(np.float32)
+        pool_j = jnp.asarray(pool)
+        steps = {
+            ci: _make_pool_step(setup_variant(ci), bundle.near, bundle.far,
+                                n_rand, mesh)
+            for ci in (True, False)
+        }
+        i_batch = 0
+    else:
+        images_j = jnp.asarray(data.images, jnp.float32)
+        poses_j = jnp.asarray(np.asarray(data.poses)[:, :3, :4], jnp.float32)
+        i_train_j = jnp.asarray(bundle.i_train)
+        steps = {
+            (ci, pc): _make_sampled_step(
+                setup_variant(ci), K, bundle.near, bundle.far, n_rand,
+                pc, args.precrop_frac, mesh,
+            )
+            for ci in (True, False) for pc in (True, False)
+        }
+
+    n_iters = args.num_iterations
+    t0 = time.time()
+    for i in range(start + 1, n_iters + 1):
+        key, ks = jax.random.split(key)
+        const_init = i < args.constant_init and rcfg.mode == "linear"
+        if use_batching:
+            state, metrics = steps[const_init](state, pool_j, i_batch, ks)
+            i_batch += n_rand
+            if i_batch + n_rand > pool_j.shape[0]:
+                key, kperm = jax.random.split(key)
+                pool_j = jax.random.permutation(kperm, pool_j, axis=0)
+                i_batch = 0
+        else:
+            precrop = i < args.precrop_iters
+            state, metrics = steps[(const_init, precrop)](
+                state, images_j, poses_j, i_train_j, ks
+            )
+
+        if i % args.i_print == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            m["steps_per_sec"] = args.i_print / max(time.time() - t0, 1e-9)
+            t0 = time.time()
+            logger.scalars(i, m, prefix="train/")
+            print(f"[TRAIN] Iter: {i} Loss: {m['loss']:.5f} "
+                  f"PSNR: {m['psnr']:.2f} ({m['steps_per_sec']:.1f} it/s)")
+
+        if i % args.i_weights == 0:
+            path = ckio.save_checkpoint(exp_dir(args), i, state)
+            print("Saved checkpoint at", path)
+
+        if i % args.i_img == 0 and len(bundle.i_val) > 0:
+            vi = int(bundle.i_val[(i // args.i_img) % len(bundle.i_val)])
+            out = EI.render_image(
+                state.params_coarse, state.params_fine, data.poses[vi],
+                data.hwf, K, mcfg, EI.test_render_config(rcfg),
+                near=bundle.near, far=bundle.far, chunk=args.chunk,
+                ndc=bundle.ndc, mesh=mesh,
+            )
+            val_mse = float(np.mean(
+                (out["rgb_map"] - np.asarray(data.images[vi])) ** 2))
+            logger.scalars(i, {"mse": val_mse,
+                               "psnr": -10 * np.log10(val_mse)},
+                           prefix="val/")
+            logger.image(i, "val/rgb", np.clip(out["rgb_map"], 0, 1))
+
+        if i % args.i_testset == 0 and i < n_iters:
+            run_test(args, bundle, mcfg, rcfg, state=state, mesh=mesh,
+                     suffix=f"_{i:06d}")
+
+        if i % args.i_video == 0 and i < n_iters:
+            run_video(args, bundle, mcfg, rcfg, state=state, mesh=mesh,
+                      step=i)
+
+    ckio.save_checkpoint(exp_dir(args), n_iters, state)
+    logger.close()
+    print("Training complete.")
+
+
+# ---------------------------------------------------------------------------
+# eval tasks
+# ---------------------------------------------------------------------------
+
+def _load_state_for_eval(args, setup):
+    state, start = restore_or_init(args, setup)
+    if start == 0 and not args.no_reload:
+        print("WARNING: no checkpoint found — evaluating fresh init")
+    return state
+
+
+def run_test(args, bundle, mcfg, rcfg, state=None, mesh=None,
+             suffix: str = "", setup=None):
+    if state is None:
+        state = _load_state_for_eval(args, setup)
+        mesh = get_mesh(args)
+    lp = load_lpips(getattr(args, "lpips_weights", None))
+    mean_metrics, res = EI.render_images_with_metrics(
+        state.params_coarse, state.params_fine, bundle.data, bundle.i_test,
+        mcfg, EI.test_render_config(rcfg), chunk=args.chunk,
+        near=bundle.near, far=bundle.far, ndc=bundle.ndc, mesh=mesh,
+        lpips_fn=lp,
+    )
+    result_dir = os.path.join(
+        exp_dir(args),
+        f"test_images_{args.mode}_{args.N_samples}_{args.N_importance}"
+        f"{args.scene_id}{suffix}",
+    )
+    EI.write_images_with_metrics(res, mean_metrics, result_dir)
+    return mean_metrics
+
+
+# the reference's multi-distance sweep: dist -> near plane
+FIXED_DIST_NEAR = {0.25: 1e-4, 0.5: 0.5, 0.75: 1.0, 1.0: 2.0}
+
+
+def run_test_fixed_dist(args, mcfg, rcfg, setup):
+    state = _load_state_for_eval(args, setup)
+    mesh = get_mesh(args)
+    lp = load_lpips(getattr(args, "lpips_weights", None))
+    import copy
+
+    for test_dist, near in FIXED_DIST_NEAR.items():
+        eval_args = copy.copy(args)
+        eval_args.dataset = "blender_fixeddist"
+        eval_args.data_dir = args.eval_data_dir
+        eval_args.scene_id = args.eval_scene_id
+        eval_args.test_dist = test_dist
+        eval_args.set_near_plane = near
+        bundle = load_dataset(eval_args)
+        mean_metrics, res = EI.render_images_with_metrics(
+            state.params_coarse, state.params_fine, bundle.data,
+            bundle.i_test, mcfg, EI.test_render_config(rcfg),
+            chunk=args.chunk, near=near, far=bundle.far, mesh=mesh,
+            lpips_fn=lp,
+        )
+        result_dir = os.path.join(
+            exp_dir(args), f"test_images_dist{test_dist}_{args.scene_id}"
+        )
+        EI.write_images_with_metrics(res, mean_metrics, result_dir)
+        print(f"[fixed_dist {test_dist}] psnr="
+              f"{mean_metrics.get('psnr'):.3f}")
+
+
+def run_test_samples_error(args, bundle, mcfg, rcfg, setup):
+    state = _load_state_for_eval(args, setup)
+    mesh = get_mesh(args)
+    result_dir = os.path.join(
+        exp_dir(args), f"test_samples_error_{args.N_importance}"
+    )
+    return EI.test_images_samples(
+        state.params_coarse, state.params_fine, bundle.data, bundle.i_test,
+        mcfg, EI.test_render_config(rcfg), result_dir, chunk=args.chunk,
+        mesh=mesh,
+    )
+
+
+def run_video(args, bundle, mcfg, rcfg, state=None, mesh=None, step=None,
+              setup=None):
+    if state is None:
+        state = _load_state_for_eval(args, setup)
+        mesh = get_mesh(args)
+        step = int(state.step)
+    data = bundle.data
+    poses = (np.asarray(data.poses)[bundle.i_test]
+             if args.render_test else np.asarray(data.render_poses))
+    savedir = os.path.join(
+        exp_dir(args),
+        "renderonly_{}_{:06d}".format(
+            "test" if args.render_test else "path", step or 0)
+    )
+    os.makedirs(savedir, exist_ok=True)
+    H, W = int(data.hwf[0]), int(data.hwf[1])
+    K = data.K if data.K is not None else np.array(
+        [[data.hwf[2], 0, 0.5 * W], [0, data.hwf[2], 0.5 * H], [0, 0, 1]],
+        np.float32,
+    )
+    rgbs, disps = EI.render_path(
+        state.params_coarse, state.params_fine, poses, data.hwf, K, mcfg,
+        EI.test_render_config(rcfg), near=bundle.near, far=bundle.far,
+        chunk=args.chunk, savedir=savedir, render_factor=args.render_factor,
+        mesh=mesh, ndc=bundle.ndc,
+    )
+    EI.write_video(os.path.join(savedir, "video.mp4"), rgbs, fps=30)
+    print("Done rendering", savedir)
+
+
+# ---------------------------------------------------------------------------
+
+def run(args, vanilla: bool = False) -> None:
+    mcfg, rcfg, setup = build_configs(args, vanilla=vanilla)
+    bundle = load_dataset(args)
+    if args.render_only:
+        run_video(args, bundle, mcfg, rcfg, setup=setup)
+        return
+    if args.task == "train":
+        run_training(args, bundle, setup, mcfg, rcfg)
+    elif args.task == "test":
+        run_test(args, bundle, mcfg, rcfg, setup=setup)
+    elif args.task == "test_fixed_dist":
+        run_test_fixed_dist(args, mcfg, rcfg, setup)
+    elif args.task == "test_samples_error":
+        run_test_samples_error(args, bundle, mcfg, rcfg, setup)
+    elif args.task == "video":
+        run_video(args, bundle, mcfg, rcfg, setup=setup)
+    else:
+        raise SystemExit(f"Unknown task {args.task}")
+
+
+def main(argv=None):
+    args = config_parser().parse_args(argv)
+    args = resolve_args(args)
+    run(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -77,12 +77,15 @@ def render_image(
     mesh=None,
     render_factor: int = 0,
     keep_hyp: bool = False,
+    pixel_center: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Render one full image; returns numpy maps shaped [H, W, ...].
 
     ``render_factor`` downsamples H/W/focal for fast previews
     (reference render_path, run_plnerf.py:180-186).  ``mesh`` shards the
     padded ray set across chips (batch axis) with replicated params.
+    ``pixel_center`` uses the depth-script ray convention (+0.5 offsets,
+    vector intrinsics — depth_supervised_exps/model/run_nerf_helpers.py:253).
     """
     H, W, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
     if render_factor:
@@ -94,7 +97,15 @@ def render_image(
         key = jax.random.PRNGKey(0)
 
     c2w = jnp.asarray(c2w)[:3, :4]
-    rays_o, rays_d = raysmod.get_rays(H, W, K, c2w)
+    if pixel_center:
+        K = np.asarray(K)
+        intrinsic = (
+            K if K.ndim == 1
+            else np.array([K[0, 0], K[1, 1], K[0, 2], K[1, 2]], np.float32)
+        )
+        rays_o, rays_d = raysmod.get_rays_pixelcenter(H, W, intrinsic, c2w)
+    else:
+        rays_o, rays_d = raysmod.get_rays(H, W, K, c2w)
     packed, _ = render.make_ray_batch(
         rays_o, rays_d, near, far, rcfg.use_viewdirs, ndc, H, W, focal
     )
@@ -144,6 +155,7 @@ def render_images_with_metrics(
     lpips_fn=None,
     seed: int = 0,
     verbose: bool = True,
+    pixel_center: bool = False,
 ):
     """Render ``count`` (or all) held-out views and aggregate metrics.
 
@@ -178,6 +190,7 @@ def render_images_with_metrics(
             params_c, params_f, dataset.poses[img_idx], dataset.hwf,
             dataset.K, mcfg, rcfg, jax.random.PRNGKey(seed + n),
             near=near, far=far, chunk=chunk, ndc=ndc, mesh=mesh,
+            pixel_center=pixel_center,
         )
         rgb = np.clip(out["rgb_map"], 0.0, 1.0)
         img_loss = float(np.mean((out["rgb_map"] - target) ** 2))
@@ -232,6 +245,7 @@ def test_images_samples(
     params_c, params_f, dataset, indices, mcfg: ModelConfig,
     rcfg: RenderConfig, result_dir: str, count: Optional[int] = None,
     chunk: int = 32768, mesh=None, seed: int = 0, verbose: bool = True,
+    pixel_center: bool = False,
 ):
     """Importance-sampling-error eval (reference run_plnerf.py:218-282):
     mean L2 distance between each predicted termination quantile
@@ -253,7 +267,7 @@ def test_images_samples(
             params_c, params_f, dataset.poses[img_idx], dataset.hwf,
             dataset.K, mcfg, rcfg, jax.random.PRNGKey(seed + n),
             near=dataset.near, far=dataset.far, chunk=chunk, mesh=mesh,
-            keep_hyp=True,
+            keep_hyp=True, pixel_center=pixel_center,
         )
         dists = np.abs(out["pred_hyp"] - out["depth_map"][..., None])
         err = float(np.mean(dists))
@@ -293,7 +307,7 @@ def render_path(
     params_c, params_f, render_poses, hwf, K, mcfg: ModelConfig,
     rcfg: RenderConfig, near: float, far: float, chunk: int = 32768,
     savedir: Optional[str] = None, render_factor: int = 0, mesh=None,
-    ndc: bool = False, verbose: bool = True,
+    ndc: bool = False, verbose: bool = True, pixel_center: bool = False,
 ):
     """Render a camera path; returns (rgbs [N,H,W,3], disps [N,H,W]).
     Writes per-frame pngs when ``savedir`` given (reference
@@ -305,6 +319,7 @@ def render_path(
             params_c, params_f, c2w, hwf, K, mcfg, rcfg,
             jax.random.PRNGKey(i), near=near, far=far, chunk=chunk,
             mesh=mesh, render_factor=render_factor, ndc=ndc,
+            pixel_center=pixel_center,
         )
         rgbs.append(out["rgb_map"])
         disps.append(out["disp_map"])

@@ -1,0 +1,146 @@
+"""End-to-end CLI tests: config parsing/layering, args.json round-trip,
+train -> checkpoint -> resume -> test/test_samples_error/video tasks on a
+tiny fixture blender scene."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from plnerf.cli.config import config_parser, read_config_file, resolve_args
+from plnerf.cli.run_plnerf import main as plnerf_main
+from plnerf.cli.run_vanilla import main as vanilla_main
+
+from fixtures import make_blender_scene
+
+TINY = [
+    "--dataset", "blender", "--no_batching", "--use_viewdirs",
+    "--white_bkgd", "--N_rand", "64", "--N_samples", "8",
+    "--N_importance", "8", "--netdepth", "2", "--netwidth", "16",
+    "--multires", "4", "--multires_views", "2", "--chunk", "256",
+    "--lrate", "5e-3", "--i_print", "5", "--i_img", "1000000",
+    "--i_testset", "1000000", "--i_video", "1000000", "--testskip", "1",
+]
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("data") / "tinyscene"
+    make_blender_scene(str(d), n_train=3, n_val=1, n_test=1)
+    return str(d.parent), "tinyscene"
+
+
+def test_config_file_layering(tmp_path):
+    cfg = tmp_path / "conf.txt"
+    cfg.write_text(
+        "expname = fromfile\nN_samples = 32\nuse_viewdirs = True\n"
+        "# comment\nlrate = 1e-3\n"
+    )
+    args = config_parser().parse_args(["--config", str(cfg)])
+    assert args.expname == "fromfile"
+    assert args.N_samples == 32
+    assert args.use_viewdirs is True
+    assert args.lrate == 1e-3
+    # explicit CLI flag beats the file
+    args = config_parser().parse_args(
+        ["--config", str(cfg), "--N_samples", "16"]
+    )
+    assert args.N_samples == 16
+
+
+def test_config_file_unknown_key(tmp_path):
+    cfg = tmp_path / "bad.txt"
+    cfg.write_text("not_a_flag = 3\n")
+    with pytest.raises(SystemExit):
+        config_parser().parse_args(["--config", str(cfg)])
+
+
+def test_reference_configs_parse():
+    """The reference's shipped config style parses (same key set)."""
+    for name in ("blender_linear", "blender_constant",
+                 "llff_linear", "llff_constant"):
+        path = f"/root/reference/configs/{name}.txt"
+        if not os.path.exists(path):
+            pytest.skip("reference configs unavailable")
+        vals = read_config_file(path)
+        parser = config_parser()
+        known = {a.dest for a in parser._actions}
+        unknown = set(vals) - known
+        assert not unknown, f"{name}: {unknown}"
+
+
+def test_train_test_video_roundtrip(scene_dir, tmp_path):
+    data_dir, scene_id = scene_dir
+    ckpt_dir = str(tmp_path / "ckpts")
+    common = TINY + [
+        "--data_dir", data_dir, "--scene_id", scene_id,
+        "--ckpt_dir", ckpt_dir, "--expname", "exp",
+    ]
+    plnerf_main(common + [
+        "--task", "train", "--mode", "linear", "--constant_init", "3",
+        "--precrop_iters", "4", "--num_iterations", "12",
+        "--i_weights", "10",
+    ])
+    exp = os.path.join(ckpt_dir, "exp")
+    assert os.path.exists(os.path.join(exp, "args.json"))
+    assert os.path.exists(os.path.join(exp, "000012.ckpt"))
+    assert os.path.exists(os.path.join(exp, "metrics.jsonl"))
+    with open(os.path.join(exp, "metrics.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    assert any("train/psnr" in r for r in recs)
+
+    # resume: continue to 16 from the step-12 checkpoint
+    plnerf_main(common + [
+        "--task", "train", "--mode", "linear", "--constant_init", "3",
+        "--num_iterations", "16", "--i_weights", "16",
+    ])
+    assert os.path.exists(os.path.join(exp, "000016.ckpt"))
+
+    # test task reloads args.json (expname from CLI)
+    plnerf_main([
+        "--task", "test", "--ckpt_dir", ckpt_dir, "--expname", "exp",
+        "--data_dir", data_dir, "--scene_id", scene_id, "--white_bkgd",
+    ])
+    test_dir = os.path.join(exp, f"test_images_linear_8_8{scene_id}")
+    assert os.path.exists(os.path.join(test_dir, "metrics.txt"))
+    assert os.path.exists(os.path.join(test_dir, "0_rgb.png"))
+    metrics = open(os.path.join(test_dir, "metrics.txt")).read()
+    assert "psnr" in metrics and "ssim" in metrics
+
+    # sample-error eval
+    plnerf_main([
+        "--task", "test_samples_error", "--ckpt_dir", ckpt_dir,
+        "--expname", "exp", "--data_dir", data_dir, "--scene_id", scene_id,
+        "--white_bkgd",
+    ])
+    assert os.path.exists(os.path.join(
+        exp, "test_samples_error_8", "metrics_expecteddepth.txt"))
+
+    # video task renders the pose path
+    plnerf_main([
+        "--task", "video", "--ckpt_dir", ckpt_dir, "--expname", "exp",
+        "--data_dir", data_dir, "--scene_id", scene_id, "--white_bkgd",
+        "--render_factor", "2",
+    ])
+    vids = [d for d in os.listdir(exp) if d.startswith("renderonly_path")]
+    assert vids, os.listdir(exp)
+    frames = os.listdir(os.path.join(exp, vids[0]))
+    assert any(f.endswith(".png") for f in frames)
+
+
+def test_vanilla_driver_use_batching(scene_dir, tmp_path):
+    data_dir, scene_id = scene_dir
+    ckpt_dir = str(tmp_path / "ckpts_v")
+    args = [a for a in TINY if a != "--no_batching"]
+    vanilla_main(args + [
+        "--task", "train", "--mode", "constant", "--data_dir", data_dir,
+        "--scene_id", scene_id, "--ckpt_dir", ckpt_dir, "--expname", "v",
+        "--num_iterations", "8", "--i_weights", "8",
+    ])
+    assert os.path.exists(os.path.join(ckpt_dir, "v", "000008.ckpt"))
+
+
+def test_missing_expname_for_test_errors(tmp_path):
+    with pytest.raises(SystemExit):
+        args = config_parser().parse_args(["--task", "test"])
+        resolve_args(args)
