@@ -153,6 +153,12 @@ def add_base_flags(parser: ConfigArgumentParser) -> None:
     a("--no_mesh", action="store_true",
       help="disable the device mesh (single-chip even if more visible)")
     a("--seed", type=int, default=0)
+    a("--profile", type=int, default=0,
+      help="capture a jax profiler trace of N training steps into "
+           "<expdir>/profile (0 = off)")
+    a("--debug", action="store_true",
+      help="per-print NaN/Inf scan over training metrics (the reference's "
+           "DEBUG flag, run_plnerf.py:42,754-757)")
 
 
 def config_parser() -> ConfigArgumentParser:

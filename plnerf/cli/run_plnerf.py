@@ -192,8 +192,15 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
         }
 
     n_iters = args.num_iterations
+    profile_n = getattr(args, "profile", 0)
     t0 = time.time()
     for i in range(start + 1, n_iters + 1):
+        if profile_n and i == start + 3:   # skip compile steps
+            jax.profiler.start_trace(os.path.join(exp_dir(args), "profile"))
+        if profile_n and i == start + 3 + profile_n:
+            jax.profiler.stop_trace()
+            print("Wrote profiler trace to",
+                  os.path.join(exp_dir(args), "profile"))
         key, ks = jax.random.split(key)
         const_init = i < args.constant_init and rcfg.mode == "linear"
         if use_batching:
@@ -216,6 +223,12 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
             logger.scalars(i, m, prefix="train/")
             print(f"[TRAIN] Iter: {i} Loss: {m['loss']:.5f} "
                   f"PSNR: {m['psnr']:.2f} ({m['steps_per_sec']:.1f} it/s)")
+            if getattr(args, "debug", False):
+                bad = [k for k, v in m.items() if not np.isfinite(v)]
+                if bad:
+                    raise FloatingPointError(
+                        f"[Numerical Fail] non-finite metrics at iter {i}: "
+                        f"{bad} (reference DEBUG scan, run_plnerf.py:754)")
 
         if i % args.i_weights == 0:
             path = ckio.save_checkpoint(exp_dir(args), i, state)

@@ -1,0 +1,256 @@
+"""Fused NeRF-MLP Pallas kernel.
+
+The rendering hot loop evaluates an 8x256 relu MLP (skip concat at layer 4,
+viewdir head) on ~1e5-1e6 points per step (reference inner hot loop,
+run_plnerf.py:78-92 / SURVEY.md section 3.1).  Under plain XLA every layer's
+[N, 256] activation round-trips HBM (~16 transfers per forward); this
+kernel streams point tiles through VMEM instead: all weights (~3 MB fp32,
+half in bf16) stay resident in VMEM, a tile of T points flows through all
+layers + both heads without touching HBM, and only the [T, 4] raw output
+is written back.  HBM traffic drops from O(D * N * W) to O(N * (in_ch+4))
+— the kernel is MXU-bound instead of bandwidth-bound.
+
+Zero-padding correctness: all feature dims are padded to lane multiples
+(128).  Padded weight rows/cols and biases are zero, and relu(0) = 0, so
+padded channels stay exactly 0 through every layer; outputs are bit-equal
+(fp32) to the unpadded XLA path up to dot-product association order.
+
+Training: ``apply`` carries a custom VJP whose backward recomputes through
+the XLA ``apply_mlp`` — gradients are exact; the Pallas path accelerates
+forward-only uses (eval rendering, density-grid extraction) and the
+forward half of training.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.config import ModelConfig
+
+LANE = 128
+
+
+def _rup(x: int, m: int = LANE) -> int:
+    return -(-x // m) * m
+
+
+def _pad2(w, rows: int, cols: int):
+    return jnp.pad(w, ((0, rows - w.shape[0]), (0, cols - w.shape[1])))
+
+
+def _pad_bias(b, cols: int):
+    return jnp.pad(b, (0, cols - b.shape[0])).reshape(1, cols)
+
+
+def _padded_weights(params, cfg: ModelConfig, in_p: int, w_p: int,
+                    v_p: int, h_p: int, dtype):
+    """Zero-pad every weight to lane-multiple shapes.  Skip layers get
+    their rows placed to match the padded concat layout
+    [pts_embed (in_p) | h (w_p)]."""
+    in_ch = cfg.input_ch
+    W = cfg.netwidth
+    tensors = []
+
+    padded_in = in_p
+    for i, layer in enumerate(params["pts_linears"]):
+        w, b = layer["w"], layer["b"]
+        if (i - 1) in cfg.skips:
+            # input is the padded concat [pts_embed (in_p) | h (w_p)]:
+            # scatter the original [in_ch + W, W] rows into that layout
+            wp = jnp.zeros((in_p + w_p, w_p), w.dtype)
+            wp = wp.at[:in_ch, :W].set(w[:in_ch])
+            wp = wp.at[in_p: in_p + W, :W].set(w[in_ch:])
+        else:
+            wp = _pad2(w, padded_in, w_p)
+        tensors += [wp.astype(dtype), _pad_bias(b, w_p)]
+        padded_in = in_p + w_p if i in cfg.skips else w_p
+
+    if cfg.use_viewdirs:
+        tensors += [
+            _pad2(params["alpha_linear"]["w"], w_p, LANE).astype(dtype),
+            _pad_bias(params["alpha_linear"]["b"], LANE),
+            _pad2(params["feature_linear"]["w"], w_p, w_p).astype(dtype),
+            _pad_bias(params["feature_linear"]["b"], w_p),
+        ]
+        # views layer rows: [feature (w_p) | views (v_p)]
+        vw = params["views_linears"][0]["w"]
+        vv = jnp.zeros((w_p + v_p, h_p), vw.dtype)
+        vv = vv.at[:W, : W // 2].set(vw[:W])
+        vv = vv.at[w_p: w_p + vw.shape[0] - W, : W // 2].set(vw[W:])
+        tensors += [
+            vv.astype(dtype),
+            _pad_bias(params["views_linears"][0]["b"], h_p),
+            _pad2(params["rgb_linear"]["w"], h_p, LANE).astype(dtype),
+            _pad_bias(params["rgb_linear"]["b"], LANE),
+        ]
+    else:
+        tensors += [
+            _pad2(params["output_linear"]["w"], w_p, LANE).astype(dtype),
+            _pad_bias(params["output_linear"]["b"], LANE),
+        ]
+    return tensors
+
+
+def _kernel(cfg: ModelConfig, n_pts_layers: int, dtype,
+            x_ref, v_ref, *refs):
+    """One tile: x [T, in_p], v [T, v_p] -> out [T, 128]
+    (cols 0-2 rgb, col 3 density)."""
+    out_ref = refs[-1]
+    wrefs = refs[:-1]
+
+    # fp32 path matches the XLA path's Precision.HIGHEST (true fp32
+    # matmuls); bf16 uses fast MXU-native passes with fp32 accumulation.
+    precision = (jax.lax.Precision.HIGHEST
+                 if dtype == jnp.float32 else None)
+
+    def dot(h, w_ref, b_ref):
+        return (
+            jax.lax.dot_general(
+                h.astype(dtype), w_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            + b_ref[:]
+        )
+
+    x = x_ref[:]
+    h = x
+    ri = 0
+    for i in range(n_pts_layers):
+        h = jnp.maximum(dot(h, wrefs[ri], wrefs[ri + 1]), 0.0)
+        ri += 2
+        if i in cfg.skips:
+            h = jnp.concatenate([x.astype(jnp.float32), h], axis=-1)
+
+    if cfg.use_viewdirs:
+        alpha = dot(h, wrefs[ri], wrefs[ri + 1])          # [T, 128], col 0
+        feature = dot(h, wrefs[ri + 2], wrefs[ri + 3])    # [T, w_p]
+        hv = jnp.concatenate([feature, v_ref[:].astype(jnp.float32)], -1)
+        hv = jnp.maximum(dot(hv, wrefs[ri + 4], wrefs[ri + 5]), 0.0)
+        rgb = dot(hv, wrefs[ri + 6], wrefs[ri + 7])       # [T, 128]
+        out = jnp.concatenate(
+            [rgb[:, :LANE - 1], alpha[:, 0:1]], axis=-1
+        )
+    else:
+        out = dot(h, wrefs[ri], wrefs[ri + 1])
+    out_ref[:] = out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "dtype_name", "tile", "interpret")
+)
+def _forward(params, pts_embed, views_embed, cfg: ModelConfig,
+             dtype_name: str = "float32", tile: int = 512,
+             interpret: bool = False):
+    """pts_embed [N, in_ch]; views_embed [N, vch] or None -> raw [N, 4]."""
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    N, in_ch = pts_embed.shape
+    W = cfg.netwidth
+    in_p, w_p = _rup(in_ch), _rup(W)
+    h_p = _rup(W // 2)
+    vch = views_embed.shape[-1] if views_embed is not None else 0
+    v_p = _rup(max(vch, 1))
+
+    n_tiles = -(-N // tile)
+    n_pad = n_tiles * tile
+    x = jnp.pad(pts_embed, ((0, n_pad - N), (0, in_p - in_ch))).astype(dtype)
+    if views_embed is not None:
+        v = jnp.pad(views_embed,
+                    ((0, n_pad - N), (0, v_p - vch))).astype(dtype)
+    else:
+        v = jnp.zeros((n_pad, v_p), dtype)
+
+    weights = _padded_weights(params, cfg, in_p, w_p, v_p, h_p, dtype)
+    n_layers = len(params["pts_linears"])
+
+    kern = functools.partial(_kernel, cfg, n_layers, dtype)
+    wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
+
+    out = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, in_p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, v_p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *wspecs,
+        ],
+        out_specs=pl.BlockSpec((tile, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, LANE), jnp.float32),
+        interpret=interpret,
+    )(x, v, *weights)
+
+    if cfg.use_viewdirs:
+        # kernel packs rgb in cols 0-2 and density in the last lane
+        raw = jnp.concatenate(
+            [out[:N, 0:3], out[:N, LANE - 1:LANE]], axis=-1)
+    else:
+        raw = out[:N, :4]  # output_linear layout: [rgb(3), sigma, ...]
+    if cfg.density_activation == "softplus10":
+        dens = jax.nn.softplus(10.0 * raw[..., 3:]) / 10.0
+        raw = jnp.concatenate([raw[..., :3], dens], axis=-1)
+    return raw
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _apply_flat(params, pts_embed, views_embed, cfg, dtype_name, tile,
+                interpret):
+    return _forward(params, pts_embed, views_embed, cfg, dtype_name, tile,
+                    interpret)
+
+
+def _apply_fwd(params, pts_embed, views_embed, cfg, dtype_name, tile,
+               interpret):
+    out = _forward(params, pts_embed, views_embed, cfg, dtype_name, tile,
+                   interpret)
+    return out, (params, pts_embed, views_embed)
+
+
+def _apply_bwd(cfg, dtype_name, tile, interpret, res, g):
+    """Exact gradients by recomputing through the XLA reference path."""
+    from ..core.mlp import apply_mlp
+
+    params, pts_embed, views_embed = res
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+
+    def f(p, x, v):
+        return apply_mlp(p, x, v, cfg, dtype)
+
+    if views_embed is None:
+        _, vjp = jax.vjp(lambda p, x: f(p, x, None), params, pts_embed)
+        dp, dx = vjp(g)
+        return dp, dx, None
+    _, vjp = jax.vjp(f, params, pts_embed, views_embed)
+    return vjp(g)
+
+
+_apply_flat.defvjp(_apply_fwd, _apply_bwd)
+
+
+def apply(params, pts_embed: jnp.ndarray,
+          views_embed: Optional[jnp.ndarray], cfg: ModelConfig,
+          dtype=jnp.float32, tile: int = 512,
+          interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Drop-in replacement for ``core.mlp.apply_mlp`` on embedded inputs
+    of any leading shape."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    lead = pts_embed.shape[:-1]
+    x = pts_embed.reshape(-1, pts_embed.shape[-1])
+    v = None
+    if views_embed is not None:
+        v = jnp.broadcast_to(
+            views_embed, lead + (views_embed.shape[-1],)
+        ).reshape(-1, views_embed.shape[-1])
+    dtype_name = "bfloat16" if dtype == jnp.bfloat16 else "float32"
+    raw = _apply_flat(params, x, v, cfg, dtype_name, tile, interpret)
+    return raw.reshape(lead + (4,))
