@@ -145,10 +145,14 @@ def build_configs(args):
 
 def load_depth_dataset(args):
     scene_dir = os.path.join(args.data_dir, args.scene_id)
-    if args.dataset not in ("blender_depth", "blender2_depth"):
+    if args.dataset == "blender_depth":
+        loader = dblender.load_blender_depth
+    elif args.dataset == "blender2_depth":
+        loader = dblender.load_blender2_depth
+    else:
         raise SystemExit(
             f"Dataloader not implemented for dataset: {args.dataset}")
-    data = dblender.load_blender2_depth(
+    data = loader(
         scene_dir, half_res=args.half_res, train_skip=args.train_skip,
         near_plane=args.set_near_plane,
     )

@@ -96,6 +96,8 @@ def _load_blender2_family(
     near_plane: float = 2.0,
     far_plane: float = 6.0,
     train_skip: int = 1,
+    depth_path_fn=None,
+    synth_video: bool = False,
 ) -> SceneData:
     """Shared frame-walking core for the blender2 / fixed-dist / depth
     loaders (they differ only in json naming, per-split skip, and whether
@@ -117,6 +119,17 @@ def _load_blender2_family(
     for split in folder_splits:
         json_path = os.path.join(basedir, json_name_fn(split))
         if not os.path.exists(json_path):
+            if split == "video" and synth_video and H > 0:
+                # missing video json: synthesize 40 spherical poses
+                # (reference depth_supervised_exps/data/load_scene_blender.py
+                # :606-622)
+                vposes = hemisphere_render_poses(40)
+                all_poses.append(vposes.astype(np.float32))
+                all_intr.append(np.repeat(
+                    np.array([(focal, focal, W / 2.0, H / 2.0)], np.float32),
+                    len(vposes), axis=0))
+                counts.append(counts[-1] + len(vposes))
+                continue
             counts.append(counts[-1])
             continue
         with open(json_path) as fp:
@@ -133,8 +146,11 @@ def _load_blender2_family(
                 imgs.append(img)
                 if with_depth:
                     max_depth = frame["max_depth"]
+                    dp = frame["depth_file_path"]
                     dpath = os.path.join(
-                        basedir, frame["depth_file_path"][:-1] + ".png"
+                        basedir,
+                        depth_path_fn(dp) if depth_path_fn is not None
+                        else dp[:-1] + ".png",
                     )
                     d = cv2.imread(dpath, cv2.IMREAD_UNCHANGED).astype(np.float64)
                     d = (d / (255.0 / max_depth)).astype(np.float32)
@@ -207,7 +223,27 @@ def load_blender2_depth(
     return _load_blender2_family(
         basedir, lambda s: f"{s}_transforms.json", half_res=half_res,
         with_depth=True, near_plane=near_plane, train_skip=train_skip,
-        skips={"train": train_skip, "val": 1, "test": 8},
+        skips={"train": train_skip, "val": 1, "test": 8, "video": 1},
+        folder_splits=("train", "val", "test", "video"), synth_video=True,
+    )
+
+
+def load_blender_depth(
+    basedir: str, half_res: bool = True, train_skip: int = 1,
+    near_plane: float = 2.0,
+) -> SceneData:
+    """``transforms_{split}.json`` naming with a 4th ``video`` split
+    (synthesized spherical poses when absent); depth png path is
+    ``depth_file_path + "0000.png"`` ("0001" for non-chair scenes) —
+    reference load_scene_blender_depth (depth_supervised_exps/data/
+    load_scene_blender.py:521-635, suffix quirk at :568-571)."""
+    suffix = "0000.png" if "chair" in basedir else "0001.png"
+    return _load_blender2_family(
+        basedir, lambda s: f"transforms_{s}.json", half_res=half_res,
+        with_depth=True, near_plane=near_plane, train_skip=train_skip,
+        skips={"train": train_skip, "val": 1, "test": 8, "video": 1},
+        folder_splits=("train", "val", "test", "video"), synth_video=True,
+        depth_path_fn=lambda dp: dp + suffix,
     )
 
 

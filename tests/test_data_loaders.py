@@ -81,3 +81,36 @@ def test_load_llff_spherify(tmp_path):
         basedir, factor=1, recenter=True, spherify=True)
     assert render_poses.shape[0] == 120
     assert poses.shape == (6, 3, 5)
+
+
+def test_load_blender_depth_video_split(tmp_path):
+    """blender_depth naming (transforms_{split}.json, depth suffix
+    '0000.png' for chair scenes) with a synthesized 40-pose video split."""
+    import json
+
+    import numpy as np
+
+    from fixtures import CAMERA_ANGLE_X, H, W, _poses, _render_rgba, _write_png
+    from plnerf.data.blender import load_blender_depth
+
+    base = str(tmp_path / "chair_bd")
+    for si, (split, n) in enumerate({"train": 3, "test": 2}.items()):
+        frames = []
+        for i, c2w in enumerate(_poses(n, seed=si)):
+            _write_png(f"{base}/{split}/r_{i}.png", _render_rgba(c2w))
+            stored = np.full((H, W), 3.5) * (255.0 / 8.0) / 65535.0
+            _write_png(f"{base}/{split}/d_{i}_0000.png", stored,
+                       sixteen_bit=True)
+            frames.append({"file_path": f"./{split}/r_{i}",
+                           "depth_file_path": f"./{split}/d_{i}_",
+                           "max_depth": 8.0,
+                           "transform_matrix": c2w.tolist()})
+        with open(f"{base}/transforms_{split}.json", "w") as f:
+            json.dump({"camera_angle_x": CAMERA_ANGLE_X, "frames": frames}, f)
+
+    d = load_blender_depth(base, half_res=False, near_plane=2.0)
+    assert [len(s) for s in d.i_split] == [3, 0, 1, 40]  # test skip 8
+    assert d.poses.shape[0] == 3 + 1 + 40
+    assert d.intrinsics.shape == (44, 4)
+    assert abs(float(d.depths[0, 0, 0, 0]) - 3.5) < 0.02
+    assert d.valid_depths.all()
