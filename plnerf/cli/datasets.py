@@ -109,6 +109,16 @@ def load_dataset(args) -> DatasetBundle:
         data.images = _composite(data.images, args.white_bkgd)
         i_train, i_test = [np.asarray(s) for s in data.i_split[:2]]
         i_val = i_test
+        # dump the split (reference run_plnerf.py:1095-1099)
+        if getattr(args, "expname", None) and getattr(args, "ckpt_dir", ""):
+            exp = os.path.join(args.ckpt_dir, args.expname)
+            if os.path.isdir(exp):
+                Ks = (data.intrinsics if data.intrinsics is not None
+                      else [data.K] * data.poses.shape[0])
+                with open(os.path.join(exp, "split.json"), "w") as f:
+                    json.dump(ddtu.build_json_for_dtu(
+                        (i_train, i_test), Ks, data.poses,
+                        data.near, data.far), f, indent=4)
         return DatasetBundle(
             _ensure_K(data), float(data.near), float(data.far), False,
             i_train, i_val, i_test,

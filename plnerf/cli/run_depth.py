@@ -285,17 +285,33 @@ def run(args):
     mesh = get_mesh(args)
     i_test = np.asarray(data.i_split[2])
     test_rcfg = EI.test_render_config(rcfg)
-    if args.task == "test":
+    if args.task in ("test", "test_opt"):
         lp = load_lpips(args.lpips_weights)
+        # test-time camera-embedding optimization (reference
+        # run_nerf_sample_based_depth.py:311-347, task test_opt)
+        cam_embeddings = None
+        with_opt = (args.task == "test_opt"
+                    or (args.opt_ch_cam and mcfg.input_ch_cam > 0))
+        if with_opt and mcfg.input_ch_cam > 0:
+            from ..train.camera_opt import optimize_camera_embedding
+
+            cam_embeddings = {}
+            for ti in i_test:
+                cam_embeddings[int(ti)] = optimize_camera_embedding(
+                    state.params_coarse, state.params_fine,
+                    np.asarray(data.images[ti]), data.poses[ti],
+                    data.intrinsics[ti], mcfg, test_rcfg,
+                    near=data.near, far=data.far, n_rand=args.N_rand,
+                )
         mm, res = EI.render_images_with_metrics(
             state.params_coarse, state.params_fine, data, i_test, mcfg,
             test_rcfg, chunk=args.chunk, mesh=mesh, lpips_fn=lp,
-            pixel_center=True,
+            pixel_center=True, cam_embeddings=cam_embeddings,
         )
         result_dir = os.path.join(
             exp_dir(args),
             f"test_images_{args.mode}_{args.N_samples}_{args.N_importance}"
-            f"{args.scene_id}",
+            f"{'with_optimization_' if with_opt else ''}{args.scene_id}",
         )
         EI.write_images_with_metrics(res, mm, result_dir)
     elif args.task == "test_samples_error":

@@ -161,3 +161,24 @@ def load_dtu2(root_dir: str, scene_id: int, num_train: int = 42,
         imgs, K, poses, hemisphere_render_poses(), [H, W, fx], i_split,
         0.1, 5.0, [i_train, i_test],
     )
+
+
+def build_json_for_dtu(splits, intrinsics, poses, near, far):
+    """Split-dump dict written to <expname>/split.json by the DTU branch of
+    the driver (reference run_plnerf.py:44-65)."""
+    i_train, i_test = splits
+    def frames(idx):
+        return [
+            {
+                "extrinsic": np.asarray(poses[i]).tolist(),
+                "intrinsic": np.asarray(intrinsics[i]).tolist(),
+                "pose_id": int(i),
+            }
+            for i in idx
+        ]
+    return {
+        "near": float(near),
+        "far": float(far),
+        "train_frames": frames(i_train),
+        "test_frames": frames(i_test),
+    }

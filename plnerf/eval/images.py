@@ -40,7 +40,8 @@ _IMAGE_KEYS = ("rgb_map", "disp_map", "acc_map", "depth_map", "rgb0", "depth0")
 
 @partial(jax.jit, static_argnames=("mcfg", "rcfg", "chunk", "keep_hyp"))
 def _render_flat(params_c, params_f, rays, key, mcfg: ModelConfig,
-                 rcfg: RenderConfig, chunk: int, keep_hyp: bool):
+                 rcfg: RenderConfig, chunk: int, keep_hyp: bool,
+                 cam_embedding=None):
     """rays: [n_chunks*chunk, 8|11] (already padded).  lax.map over chunks —
     one compiled body reused for every chunk, no host round trips."""
     n_chunks = rays.shape[0] // chunk
@@ -49,7 +50,8 @@ def _render_flat(params_c, params_f, rays, key, mcfg: ModelConfig,
 
     def body(args):
         rb, k = args
-        ret = render.render_rays(params_c, params_f, rb, k, mcfg, rcfg)
+        ret = render.render_rays(params_c, params_f, rb, k, mcfg, rcfg,
+                                 cam_embedding=cam_embedding)
         keep = {k_: v for k_, v in ret.items() if k_ in _IMAGE_KEYS}
         if keep_hyp and "pred_hyp" in ret:
             keep["pred_hyp"] = ret["pred_hyp"]
@@ -78,6 +80,7 @@ def render_image(
     render_factor: int = 0,
     keep_hyp: bool = False,
     pixel_center: bool = False,
+    cam_embedding=None,
 ) -> Dict[str, np.ndarray]:
     """Render one full image; returns numpy maps shaped [H, W, ...].
 
@@ -121,7 +124,7 @@ def render_image(
             params_f = pmesh.replicate(params_f, mesh)
 
     out = _render_flat(params_c, params_f, packed, key, mcfg, rcfg, chunk,
-                       keep_hyp)
+                       keep_hyp, cam_embedding)
     out = jax.tree.map(lambda x: np.asarray(x[:n]), out)
     return {
         k: v.reshape(H, W, *v.shape[1:]) for k, v in out.items()
@@ -156,8 +159,12 @@ def render_images_with_metrics(
     seed: int = 0,
     verbose: bool = True,
     pixel_center: bool = False,
+    cam_embeddings=None,
 ):
     """Render ``count`` (or all) held-out views and aggregate metrics.
+    ``cam_embeddings``: optional dict {img_idx: embedding} (test-time
+    camera-embedding optimization, reference run_nerf_sample_based_depth
+    ``with_test_time_optimization``).
 
     Mirrors reference run_plnerf.py:284-363: per-image img_loss / PSNR /
     SSIM / (LPIPS if a callable is provided) / depth RMSE when the dataset
@@ -191,6 +198,8 @@ def render_images_with_metrics(
             dataset.K, mcfg, rcfg, jax.random.PRNGKey(seed + n),
             near=near, far=far, chunk=chunk, ndc=ndc, mesh=mesh,
             pixel_center=pixel_center,
+            cam_embedding=(None if cam_embeddings is None
+                           else cam_embeddings.get(int(img_idx))),
         )
         rgb = np.clip(out["rgb_map"], 0.0, 1.0)
         img_loss = float(np.mean((out["rgb_map"] - target) ** 2))

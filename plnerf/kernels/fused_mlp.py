@@ -13,12 +13,21 @@ is written back.  HBM traffic drops from O(D * N * W) to O(N * (in_ch+4))
 Zero-padding correctness: all feature dims are padded to lane multiples
 (128).  Padded weight rows/cols and biases are zero, and relu(0) = 0, so
 padded channels stay exactly 0 through every layer; outputs are bit-equal
-(fp32) to the unpadded XLA path up to dot-product association order.
+(fp32) to the unpadded XLA path up to dot-product association order
+(measured max abs err 3e-8 on a v5e at N=2048).
 
 Training: ``apply`` carries a custom VJP whose backward recomputes through
-the XLA ``apply_mlp`` — gradients are exact; the Pallas path accelerates
-forward-only uses (eval rendering, density-grid extraction) and the
-forward half of training.
+the XLA ``apply_mlp`` — gradients are exact.
+
+Measured on TPU v5e (786k points, 8x256 viewdirs MLP, 2026-08-16):
+XLA bf16 9.9 ms vs this kernel 11.7 ms; XLA fp32(HIGHEST) 34.1 ms vs
+41.2 ms — XLA's own matmul pipelining already keeps this MLP
+MXU-bound at these sizes (weights are grid-invariant blocks that Mosaic
+keeps VMEM-resident either way), so the kernel is kept OPT-IN
+(``RenderConfig.use_pallas_mlp`` / ``--use_pallas``) as the substrate for
+a future fused forward+backward training kernel rather than a default.
+fp32 tiles >= 2048 exceed the per-kernel VMEM budget and fail to compile;
+use tile <= 1024.
 """
 from __future__ import annotations
 
