@@ -47,6 +47,13 @@ def build_configs(args, vanilla: bool = False):
         use_viewdirs=args.use_viewdirs, multires=args.multires,
         multires_views=args.multires_views, i_embed=args.i_embed,
     )
+    mcfg_fine = None
+    if (args.netdepth_fine != args.netdepth
+            or args.netwidth_fine != args.netwidth):
+        import dataclasses as _dc
+
+        mcfg_fine = _dc.replace(mcfg, netdepth=args.netdepth_fine,
+                                netwidth=args.netwidth_fine)
     rcfg = RenderConfig(
         n_samples=args.N_samples, n_importance=args.N_importance,
         mode=args.mode,
@@ -58,7 +65,7 @@ def build_configs(args, vanilla: bool = False):
         use_pallas_mlp=getattr(args, "use_pallas", False),
     )
     setup = TrainSetup(
-        mcfg=mcfg, rcfg=rcfg, lrate=args.lrate,
+        mcfg=mcfg, mcfg_fine=mcfg_fine, rcfg=rcfg, lrate=args.lrate,
         coarse_lrate=args.coarse_lrate, lrate_decay=args.lrate_decay,
         joint_optimizer=vanilla,
     )
@@ -251,11 +258,11 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
 
         if i % args.i_testset == 0 and i < n_iters:
             run_test(args, bundle, mcfg, rcfg, state=state, mesh=mesh,
-                     suffix=f"_{i:06d}")
+                     suffix=f"_{i:06d}", setup=setup)
 
         if i % args.i_video == 0 and i < n_iters:
             run_video(args, bundle, mcfg, rcfg, state=state, mesh=mesh,
-                      step=i)
+                      step=i, setup=setup)
 
     ckio.save_checkpoint(exp_dir(args), n_iters, state)
     logger.close()
@@ -283,7 +290,7 @@ def run_test(args, bundle, mcfg, rcfg, state=None, mesh=None,
         state.params_coarse, state.params_fine, bundle.data, bundle.i_test,
         mcfg, EI.test_render_config(rcfg), chunk=args.chunk,
         near=bundle.near, far=bundle.far, ndc=bundle.ndc, mesh=mesh,
-        lpips_fn=lp,
+        lpips_fn=lp, mcfg_fine=setup.mcfg_fine if setup else None,
     )
     result_dir = os.path.join(
         exp_dir(args),
@@ -316,7 +323,7 @@ def run_test_fixed_dist(args, mcfg, rcfg, setup):
             state.params_coarse, state.params_fine, bundle.data,
             bundle.i_test, mcfg, EI.test_render_config(rcfg),
             chunk=args.chunk, near=near, far=bundle.far, mesh=mesh,
-            lpips_fn=lp,
+            lpips_fn=lp, mcfg_fine=setup.mcfg_fine,
         )
         result_dir = os.path.join(
             exp_dir(args), f"test_images_dist{test_dist}_{args.scene_id}"
@@ -335,7 +342,7 @@ def run_test_samples_error(args, bundle, mcfg, rcfg, setup):
     return EI.test_images_samples(
         state.params_coarse, state.params_fine, bundle.data, bundle.i_test,
         mcfg, EI.test_render_config(rcfg), result_dir, chunk=args.chunk,
-        mesh=mesh,
+        mesh=mesh, mcfg_fine=setup.mcfg_fine,
     )
 
 
@@ -364,6 +371,7 @@ def run_video(args, bundle, mcfg, rcfg, state=None, mesh=None, step=None,
         EI.test_render_config(rcfg), near=bundle.near, far=bundle.far,
         chunk=args.chunk, savedir=savedir, render_factor=args.render_factor,
         mesh=mesh, ndc=bundle.ndc,
+        mcfg_fine=setup.mcfg_fine if setup else None,
     )
     EI.write_video(os.path.join(savedir, "video.mp4"), rgbs, fps=30)
     print("Done rendering", savedir)

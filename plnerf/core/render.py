@@ -43,6 +43,7 @@ def render_rays(
     cached_u: Optional[jnp.ndarray] = None,
     cam_embedding: Optional[jnp.ndarray] = None,
     overrides: Optional[Dict[str, Any]] = None,
+    mcfg_fine: Optional[ModelConfig] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render a batch of rays.
 
@@ -67,10 +68,10 @@ def render_rays(
         near, far, rcfg.n_samples, rcfg.lindisp, t_rand
     )
 
-    def run(params, z, noise_key):
+    def run(params, z, noise_key, cfg=mcfg):
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
         raw = mlp.query_network(
-            params, pts, viewdirs, mcfg, cam_embedding,
+            params, pts, viewdirs, cfg, cam_embedding,
             dtype=jnp.bfloat16 if rcfg.mlp_dtype == "bfloat16" else jnp.float32,
             use_pallas=rcfg.use_pallas_mlp,
         )
@@ -115,7 +116,8 @@ def render_rays(
 
         z_fine = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
         params_f = params_fine if params_fine is not None else params_coarse
-        out_f = run(params_f, z_fine, knf)
+        cfg_f = mcfg if (mcfg_fine is None or params_fine is None) else mcfg_fine
+        out_f = run(params_f, z_fine, knf, cfg_f)
 
         for k_ in ("rgb_map", "disp_map", "acc_map", "depth_map"):
             ret[k_] = out_f[k_]

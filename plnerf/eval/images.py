@@ -38,10 +38,11 @@ from . import metrics as M
 _IMAGE_KEYS = ("rgb_map", "disp_map", "acc_map", "depth_map", "rgb0", "depth0")
 
 
-@partial(jax.jit, static_argnames=("mcfg", "rcfg", "chunk", "keep_hyp"))
+@partial(jax.jit,
+         static_argnames=("mcfg", "rcfg", "chunk", "keep_hyp", "mcfg_fine"))
 def _render_flat(params_c, params_f, rays, key, mcfg: ModelConfig,
                  rcfg: RenderConfig, chunk: int, keep_hyp: bool,
-                 cam_embedding=None):
+                 cam_embedding=None, mcfg_fine=None):
     """rays: [n_chunks*chunk, 8|11] (already padded).  lax.map over chunks —
     one compiled body reused for every chunk, no host round trips."""
     n_chunks = rays.shape[0] // chunk
@@ -51,7 +52,8 @@ def _render_flat(params_c, params_f, rays, key, mcfg: ModelConfig,
     def body(args):
         rb, k = args
         ret = render.render_rays(params_c, params_f, rb, k, mcfg, rcfg,
-                                 cam_embedding=cam_embedding)
+                                 cam_embedding=cam_embedding,
+                                 mcfg_fine=mcfg_fine)
         keep = {k_: v for k_, v in ret.items() if k_ in _IMAGE_KEYS}
         if keep_hyp and "pred_hyp" in ret:
             keep["pred_hyp"] = ret["pred_hyp"]
@@ -81,6 +83,7 @@ def render_image(
     keep_hyp: bool = False,
     pixel_center: bool = False,
     cam_embedding=None,
+    mcfg_fine: Optional[ModelConfig] = None,
 ) -> Dict[str, np.ndarray]:
     """Render one full image; returns numpy maps shaped [H, W, ...].
 
@@ -124,7 +127,7 @@ def render_image(
             params_f = pmesh.replicate(params_f, mesh)
 
     out = _render_flat(params_c, params_f, packed, key, mcfg, rcfg, chunk,
-                       keep_hyp, cam_embedding)
+                       keep_hyp, cam_embedding, mcfg_fine)
     out = jax.tree.map(lambda x: np.asarray(x[:n]), out)
     return {
         k: v.reshape(H, W, *v.shape[1:]) for k, v in out.items()
@@ -160,6 +163,7 @@ def render_images_with_metrics(
     verbose: bool = True,
     pixel_center: bool = False,
     cam_embeddings=None,
+    mcfg_fine: Optional[ModelConfig] = None,
 ):
     """Render ``count`` (or all) held-out views and aggregate metrics.
     ``cam_embeddings``: optional dict {img_idx: embedding} (test-time
@@ -200,6 +204,7 @@ def render_images_with_metrics(
             pixel_center=pixel_center,
             cam_embedding=(None if cam_embeddings is None
                            else cam_embeddings.get(int(img_idx))),
+            mcfg_fine=mcfg_fine,
         )
         rgb = np.clip(out["rgb_map"], 0.0, 1.0)
         img_loss = float(np.mean((out["rgb_map"] - target) ** 2))
@@ -254,7 +259,7 @@ def test_images_samples(
     params_c, params_f, dataset, indices, mcfg: ModelConfig,
     rcfg: RenderConfig, result_dir: str, count: Optional[int] = None,
     chunk: int = 32768, mesh=None, seed: int = 0, verbose: bool = True,
-    pixel_center: bool = False,
+    pixel_center: bool = False, mcfg_fine: Optional[ModelConfig] = None,
 ):
     """Importance-sampling-error eval (reference run_plnerf.py:218-282):
     mean L2 distance between each predicted termination quantile
@@ -276,7 +281,7 @@ def test_images_samples(
             params_c, params_f, dataset.poses[img_idx], dataset.hwf,
             dataset.K, mcfg, rcfg, jax.random.PRNGKey(seed + n),
             near=dataset.near, far=dataset.far, chunk=chunk, mesh=mesh,
-            keep_hyp=True, pixel_center=pixel_center,
+            keep_hyp=True, pixel_center=pixel_center, mcfg_fine=mcfg_fine,
         )
         dists = np.abs(out["pred_hyp"] - out["depth_map"][..., None])
         err = float(np.mean(dists))
@@ -317,6 +322,7 @@ def render_path(
     rcfg: RenderConfig, near: float, far: float, chunk: int = 32768,
     savedir: Optional[str] = None, render_factor: int = 0, mesh=None,
     ndc: bool = False, verbose: bool = True, pixel_center: bool = False,
+    mcfg_fine: Optional[ModelConfig] = None,
 ):
     """Render a camera path; returns (rgbs [N,H,W,3], disps [N,H,W]).
     Writes per-frame pngs when ``savedir`` given (reference
@@ -328,7 +334,7 @@ def render_path(
             params_c, params_f, c2w, hwf, K, mcfg, rcfg,
             jax.random.PRNGKey(i), near=near, far=far, chunk=chunk,
             mesh=mesh, render_factor=render_factor, ndc=ndc,
-            pixel_center=pixel_center,
+            pixel_center=pixel_center, mcfg_fine=mcfg_fine,
         )
         rgbs.append(out["rgb_map"])
         disps.append(out["disp_map"])

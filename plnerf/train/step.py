@@ -34,6 +34,9 @@ from .state import TrainState
 class TrainSetup:
     """Everything static about training (hashable; safe to close over)."""
     mcfg: ModelConfig = ModelConfig()
+    # distinct fine-network dims (--netdepth_fine/--netwidth_fine); None =
+    # same as coarse (all shipped recipes)
+    mcfg_fine: Optional[ModelConfig] = None
     rcfg: RenderConfig = RenderConfig()
     lrate: float = 5e-4
     coarse_lrate: float = 5e-4
@@ -75,7 +78,8 @@ def init_state(key: jax.Array, setup: TrainSetup, n_images: int = 0) -> TrainSta
     kc, kf = jax.random.split(key)
     params_c = init_nerf_params(kc, setup.mcfg)
     params_f = (
-        init_nerf_params(kf, setup.mcfg) if setup.rcfg.n_importance > 0 else None
+        init_nerf_params(kf, setup.mcfg_fine or setup.mcfg)
+        if setup.rcfg.n_importance > 0 else None
     )
     opt_fine, opt_coarse, opt_ss_tx = setup.make_optimizers()
 
@@ -111,7 +115,7 @@ def _render_loss(params_c, params_f, batch, key, setup: TrainSetup,
     sc_weight: traced space-carving weight (0 during warm start)."""
     ret = render.render_rays(
         params_c, params_f, batch["rays"], key, setup.mcfg, setup.rcfg,
-        cached_u=batch.get("cached_u"),
+        cached_u=batch.get("cached_u"), mcfg_fine=setup.mcfg_fine,
     )
     img_loss = img2mse(ret["rgb_map"], batch["target"])
     loss = img_loss

@@ -144,3 +144,33 @@ def test_missing_expname_for_test_errors(tmp_path):
     with pytest.raises(SystemExit):
         args = config_parser().parse_args(["--task", "test"])
         resolve_args(args)
+
+
+def test_distinct_fine_network_dims(scene_dir, tmp_path):
+    """--netdepth_fine/--netwidth_fine different from the coarse net
+    (reference create_nerf run_plnerf.py:428-437) train + test."""
+    data_dir, scene_id = scene_dir
+    ckpt_dir = str(tmp_path / "ckpts_f")
+    plnerf_main(TINY + [
+        "--task", "train", "--mode", "constant", "--data_dir", data_dir,
+        "--scene_id", scene_id, "--ckpt_dir", ckpt_dir, "--expname", "f",
+        "--netdepth_fine", "3", "--netwidth_fine", "24",
+        "--num_iterations", "6", "--i_weights", "6",
+    ])
+    import flax.serialization as fser
+
+    with open(os.path.join(ckpt_dir, "f", "000006.ckpt"), "rb") as fh:
+        sd = fser.msgpack_restore(fh.read())
+    pf = sd["params_fine"]["pts_linears"]
+    assert len(pf) == 3
+    assert pf["0"]["w"].shape[1] == 24
+    pc = sd["params_coarse"]["pts_linears"]
+    assert len(pc) == 2 and pc["0"]["w"].shape[1] == 16
+
+    plnerf_main([
+        "--task", "test", "--ckpt_dir", ckpt_dir, "--expname", "f",
+        "--data_dir", data_dir, "--scene_id", scene_id, "--white_bkgd",
+    ])
+    test_dir = os.path.join(ckpt_dir, "f",
+                            f"test_images_constant_8_8{scene_id}")
+    assert os.path.exists(os.path.join(test_dir, "metrics.txt"))
