@@ -150,6 +150,9 @@ def add_base_flags(parser: ConfigArgumentParser) -> None:
       help="float32 | bfloat16 matmul dtype for the NeRF MLP")
     a("--use_pallas", action="store_true",
       help="use the fused Pallas MLP kernel on TPU")
+    a("--remat", action="store_true",
+      help="rematerialize the MLP in backward (jax.checkpoint) to raise "
+           "the ray-batch memory ceiling")
     a("--no_mesh", action="store_true",
       help="disable the device mesh (single-chip even if more visible)")
     a("--seed", type=int, default=0)

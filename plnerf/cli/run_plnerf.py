@@ -63,6 +63,7 @@ def build_configs(args, vanilla: bool = False):
         zero_tol=args.zero_tol, epsilon=args.epsilon,
         mlp_dtype=getattr(args, "mlp_dtype", "float32"),
         use_pallas_mlp=getattr(args, "use_pallas", False),
+        remat_mlp=getattr(args, "remat", False),
     )
     setup = TrainSetup(
         mcfg=mcfg, mcfg_fine=mcfg_fine, rcfg=rcfg, lrate=args.lrate,

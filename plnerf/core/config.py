@@ -88,6 +88,11 @@ class RenderConfig:
     mlp_dtype: str = "float32"
     # Use the fused Pallas MLP kernel when available.
     use_pallas_mlp: bool = False
+    # Rematerialize the MLP in backward (jax.checkpoint): trades ~1 extra
+    # forward for dropping all [rays, samples, width] layer activations
+    # from HBM — raises the ray-batch ceiling ~4x (a 16k-ray 64+128-sample
+    # step otherwise needs 28.6 GB HBM on v5e, measured 2026-08-16).
+    remat_mlp: bool = False
 
     @property
     def effective_mode(self) -> str:

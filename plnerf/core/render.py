@@ -70,11 +70,18 @@ def render_rays(
 
     def run(params, z, noise_key, cfg=mcfg):
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
-        raw = mlp.query_network(
-            params, pts, viewdirs, cfg, cam_embedding,
-            dtype=jnp.bfloat16 if rcfg.mlp_dtype == "bfloat16" else jnp.float32,
-            use_pallas=rcfg.use_pallas_mlp,
-        )
+
+        def query(p, x):
+            return mlp.query_network(
+                p, x, viewdirs, cfg, cam_embedding,
+                dtype=(jnp.bfloat16 if rcfg.mlp_dtype == "bfloat16"
+                       else jnp.float32),
+                use_pallas=rcfg.use_pallas_mlp,
+            )
+
+        if rcfg.remat_mlp:
+            query = jax.checkpoint(query)
+        raw = query(params, pts)
         noise = 0.0
         if rcfg.raw_noise_std > 0.0:
             ov = _maybe(overrides, "noise")
