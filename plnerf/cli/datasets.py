@@ -54,27 +54,35 @@ def load_dataset(args) -> DatasetBundle:
     scene_dir = os.path.join(args.data_dir, args.scene_id)
 
     if args.dataset == "llff":
-        data = dllff.load_llff_data(
+        # loader keeps the reference tuple contract
+        # (images, poses[N,3,5], bds, render_poses, i_test)
+        images, poses, bds, render_poses, i_test0 = dllff.load_llff_data(
             scene_dir, factor=args.factor, recenter=True, bd_factor=0.75,
             spherify=args.spherify,
         )
-        n = data.images.shape[0]
+        hwf = [int(poses[0, 0, -1]), int(poses[0, 1, -1]),
+               float(poses[0, 2, -1])]
+        poses = poses[:, :3, :4]
+        n = images.shape[0]
         if args.llffhold > 0:
             i_test = np.arange(n)[:: args.llffhold]
         else:
-            i_test = np.asarray(data.i_split[2])
+            i_test = np.atleast_1d(np.asarray(i_test0))
         i_val = i_test
         i_train = np.array(
             [i for i in range(n) if i not in i_test and i not in i_val]
         )
-        bds = data.bds if hasattr(data, "bds") else None
         if args.no_ndc:
-            near = float(np.min(bds) * 0.9) if bds is not None else 0.1
-            far = float(np.max(bds) * 1.0) if bds is not None else 10.0
+            near = float(np.min(bds) * 0.9)
+            far = float(np.max(bds) * 1.0)
             ndc = False
         else:
             near, far, ndc = 0.0, 1.0, True
-        data.near, data.far = near, far
+        data = SceneData(
+            images=images, poses=poses, render_poses=render_poses,
+            hwf=hwf, i_split=[i_train, i_val, i_test],
+            near=near, far=far,
+        )
         return DatasetBundle(_ensure_K(data), near, far, ndc, i_train, i_val, i_test)
 
     if args.dataset in ("blender", "blender2", "blender_fixeddist"):

@@ -174,3 +174,39 @@ def test_distinct_fine_network_dims(scene_dir, tmp_path):
     test_dir = os.path.join(ckpt_dir, "f",
                             f"test_images_constant_8_8{scene_id}")
     assert os.path.exists(os.path.join(test_dir, "metrics.txt"))
+
+
+def test_llff_ndc_pool_training(tmp_path):
+    """LLFF dataset end to end: recentered poses, NDC ray pool
+    (use_batching), llffhold split, train + test task."""
+    from fixtures import make_llff_scene
+
+    data_dir = str(tmp_path / "ldata")
+    make_llff_scene(os.path.join(data_dir, "fern"), n=6)
+    ckpt_dir = str(tmp_path / "lck")
+    common = [
+        "--dataset", "llff", "--factor", "1", "--llffhold", "3",
+        "--use_viewdirs", "--N_rand", "64", "--N_samples", "8",
+        "--N_importance", "8", "--netdepth", "2", "--netwidth", "16",
+        "--multires", "4", "--multires_views", "2", "--chunk", "256",
+        "--lrate", "5e-3", "--i_print", "4", "--i_img", "99999",
+        "--i_testset", "99999", "--i_video", "99999",
+        "--data_dir", data_dir, "--scene_id", "fern",
+        "--ckpt_dir", ckpt_dir, "--expname", "l",
+    ]
+    plnerf_main(common + [
+        "--task", "train", "--mode", "linear", "--constant_init", "2",
+        "--num_iterations", "8", "--i_weights", "8",
+    ])
+    assert os.path.exists(os.path.join(ckpt_dir, "l", "000008.ckpt"))
+
+    plnerf_main([
+        "--task", "test", "--ckpt_dir", ckpt_dir, "--expname", "l",
+        "--data_dir", data_dir, "--scene_id", "fern",
+    ])
+    dirs = [d for d in os.listdir(os.path.join(ckpt_dir, "l"))
+            if d.startswith("test_images_")]
+    assert dirs
+    metrics = open(os.path.join(ckpt_dir, "l", dirs[0],
+                                "metrics.txt")).read()
+    assert "psnr" in metrics
