@@ -200,9 +200,11 @@ def test_llff_ndc_pool_training(tmp_path):
     ])
     assert os.path.exists(os.path.join(ckpt_dir, "l", "000008.ckpt"))
 
+    # dataset is in the reference's CLI-override list (run_plnerf.py:963),
+    # so the test invocation must name it too
     plnerf_main([
         "--task", "test", "--ckpt_dir", ckpt_dir, "--expname", "l",
-        "--data_dir", data_dir, "--scene_id", "fern",
+        "--data_dir", data_dir, "--scene_id", "fern", "--dataset", "llff",
     ])
     dirs = [d for d in os.listdir(os.path.join(ckpt_dir, "l"))
             if d.startswith("test_images_")]
