@@ -36,12 +36,13 @@ def save_checkpoint(ckpt_dir: str, step: int, tree: Any) -> str:
 def list_checkpoints(ckpt_dir: str):
     if not os.path.isdir(ckpt_dir):
         return []
-    out = []
-    for name in sorted(os.listdir(ckpt_dir)):
+    found = []
+    for name in os.listdir(ckpt_dir):
         m = CKPT_RE.match(name)
         if m:
-            out.append(os.path.join(ckpt_dir, name))
-    return out
+            found.append((int(m.group(1)), name))
+    # numeric sort: lexical order misorders 1000000 vs 900000
+    return [os.path.join(ckpt_dir, n) for _, n in sorted(found)]
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:

@@ -16,6 +16,17 @@ import sys
 from typing import List, Optional, Sequence
 
 
+def str2bool(v) -> bool:
+    """argparse-safe bool: plain ``type=bool`` treats 'False' as True."""
+    if isinstance(v, bool):
+        return v
+    if str(v).lower() in ("true", "1", "yes", "y"):
+        return True
+    if str(v).lower() in ("false", "0", "no", "n", ""):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+
+
 def read_config_file(path: str) -> dict:
     """Parse a configargparse-style txt: ``key = value`` per line, ``#``
     comments; bare ``key`` lines mean True."""
@@ -129,7 +140,10 @@ def add_base_flags(parser: ConfigArgumentParser) -> None:
     # PWL
     a("--mode", type=str, default="constant")
     a("--color_mode", type=str, default="midpoint")
-    a("--quad_solution_v2", default=True, type=bool)
+    # accepted for reference-config compatibility; the reference
+    # itself never reads it either (only appears in signatures,
+    # run_nerf_helpers.py:364,448)
+    a("--quad_solution_v2", default=True, type=str2bool)
     a("--zero_tol", type=float, default=1e-4)
     a("--epsilon", type=float, default=1e-3)
     a("--set_near_plane", default=2.0, type=float)
@@ -176,6 +190,13 @@ _TEST_OVERRIDES = [
     "task", "data_dir", "ckpt_dir", "set_near_plane", "dataset",
     "test_dist", "scene_id", "white_bkgd", "eval_scene_id",
     "eval_data_dir", "testskip",
+    # eval-time flags this framework adds (not meaningful to inherit from
+    # the training args.json).  Only flags whose parser default means
+    # "off" belong here — plain argparse can't distinguish an explicit
+    # CLI value from the default, so overriding e.g. chunk/mlp_dtype/seed
+    # would silently replace the trained values with defaults.
+    "lpips_weights", "render_test", "render_factor", "render_only",
+    "ft_path", "no_reload", "no_mesh", "use_pallas", "profile", "debug",
 ]
 
 

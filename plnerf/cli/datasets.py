@@ -110,26 +110,36 @@ def load_dataset(args) -> DatasetBundle:
             with open(args.dtu_split) as f:
                 train_split = json.load(f)
         loader = ddtu.load_dtu if args.dataset == "DTU" else ddtu.load_dtu2
-        data = loader(
+        # both return (imgs, intrinsics|K, poses, render_poses, hwf,
+        # i_split, near, far, [i_train, i_test])
+        (images, intr, poses, render_poses, hwf, i_split, near, far,
+         splits) = loader(
             args.data_dir, args.dtu_scene_id, num_train=args.num_train,
             half_res=args.half_res, train_split=train_split,
         )
-        data.images = _composite(data.images, args.white_bkgd)
-        i_train, i_test = [np.asarray(s) for s in data.i_split[:2]]
+        images = _composite(images, args.white_bkgd)
+        intr = np.asarray(intr, np.float32)
+        K = intr[0] if intr.ndim == 3 else intr
+        per_view_K = intr if intr.ndim == 3 else None
+        i_train, i_test = [np.asarray(s) for s in i_split[:2]]
         i_val = i_test
+        data = SceneData(
+            images=images, poses=np.asarray(poses),
+            render_poses=np.asarray(render_poses), hwf=list(hwf),
+            i_split=[i_train, i_val, i_test], K=K,
+            intrinsics=per_view_K, near=float(near), far=float(far),
+        )
         # dump the split (reference run_plnerf.py:1095-1099)
         if getattr(args, "expname", None) and getattr(args, "ckpt_dir", ""):
             exp = os.path.join(args.ckpt_dir, args.expname)
             if os.path.isdir(exp):
-                Ks = (data.intrinsics if data.intrinsics is not None
-                      else [data.K] * data.poses.shape[0])
+                Ks = per_view_K if per_view_K is not None \
+                    else [K] * data.poses.shape[0]
                 with open(os.path.join(exp, "split.json"), "w") as f:
                     json.dump(ddtu.build_json_for_dtu(
-                        (i_train, i_test), Ks, data.poses,
-                        data.near, data.far), f, indent=4)
-        return DatasetBundle(
-            _ensure_K(data), float(data.near), float(data.far), False,
-            i_train, i_val, i_test,
-        )
+                        (i_train, i_test), Ks, data.poses, near, far),
+                        f, indent=4)
+        return DatasetBundle(data, float(near), float(far), False,
+                             i_train, i_val, i_test)
 
     raise SystemExit(f"Unknown dataset type {args.dataset}")

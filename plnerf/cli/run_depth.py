@@ -35,7 +35,7 @@ from ..eval.lpips import load_lpips
 from ..parallel import mesh as pmesh
 from ..train.step import TrainSetup, init_state, make_depth_train_step
 from ..utils.logging import MetricsLogger
-from .config import ConfigArgumentParser
+from .config import ConfigArgumentParser, str2bool
 from .run_plnerf import _shard, get_mesh
 
 
@@ -89,16 +89,16 @@ def config_parser() -> ConfigArgumentParser:
     a("--scale_init", default=1.0, type=float)
     a("--shift_init", default=0.0, type=float)
     a("--freeze_ss", type=int, default=0)
-    a("--is_joint", default=False, type=bool)
+    a("--is_joint", default=False, type=str2bool)
     a("--norm_p", type=int, default=2)
     a("--space_carving_threshold", type=float, default=0.0)
-    a("--mask_corners", default=False, type=bool)
+    a("--mask_corners", default=False, type=str2bool)
     a("--input_ch_cam", type=int, default=0)
     a("--opt_ch_cam", action="store_true", default=False)
     a("--ch_cam_lr", default=1e-4, type=float)
     a("--mode", type=str, default="constant")
     a("--color_mode", type=str, default="midpoint")
-    a("--quad_solution_v2", default=True, type=bool)
+    a("--quad_solution_v2", default=True, type=str2bool)
     a("--zero_tol", type=float, default=1e-4)
     a("--epsilon", type=float, default=1e-3)
     a("--set_near_plane", default=0.5, type=float)
@@ -290,9 +290,14 @@ def run(args):
         # test-time camera-embedding optimization (reference
         # run_nerf_sample_based_depth.py:311-347, task test_opt)
         cam_embeddings = None
-        with_opt = (args.task == "test_opt"
-                    or (args.opt_ch_cam and mcfg.input_ch_cam > 0))
-        if with_opt and mcfg.input_ch_cam > 0:
+        # optimization only actually runs with camera-embedding channels;
+        # the label must reflect what ran
+        with_opt = (mcfg.input_ch_cam > 0
+                    and (args.task == "test_opt" or args.opt_ch_cam))
+        if args.task == "test_opt" and mcfg.input_ch_cam == 0:
+            print("WARNING: test_opt without --input_ch_cam > 0 — nothing "
+                  "to optimize; running plain test")
+        if with_opt:
             from ..train.camera_opt import optimize_camera_embedding
 
             cam_embeddings = {}

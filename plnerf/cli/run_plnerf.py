@@ -111,7 +111,8 @@ def _shard(x, mesh):
 
 
 def _make_sampled_step(setup: TrainSetup, K, near, far, n_rand,
-                       precrop: bool, precrop_frac: float, mesh=None):
+                       precrop: bool, precrop_frac: float, mesh=None,
+                       ndc: bool = False, focal: float = 0.0):
     """Fuse on-device batch sampling with the train step: one program."""
     base = make_train_step(setup)
 
@@ -121,6 +122,7 @@ def _make_sampled_step(setup: TrainSetup, K, near, far, n_rand,
         rays, target, _ = batching.sample_one_image_batch(
             images, poses, K, i_train, kb, n_rand, near, far,
             setup.rcfg.use_viewdirs, precrop, precrop_frac,
+            ndc=ndc, focal=focal,
         )
         rays, target = _shard(rays, mesh), _shard(target, mesh)
         return base(state, {"rays": rays, "target": target}, ks)
@@ -172,13 +174,17 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
             bundle.i_train, seed=args.seed,
         )
         if bundle.ndc:
-            # NDC pools need warped rays; warp once on host via jax
+            # NDC pools: warp o/d once on host, but KEEP the world-space
+            # direction as the viewdir column (reference render() computes
+            # viewdirs pre-NDC, run_plnerf.py:145-155)
             from ..core import rays as raysmod
 
             ro, rd = jnp.asarray(pool[:, 0:3]), jnp.asarray(pool[:, 3:6])
+            world_d = pool[:, 3:6]
             ro, rd = raysmod.ndc_rays(H, W, float(data.hwf[2]), 1.0, ro, rd)
             pool = np.concatenate(
-                [np.asarray(ro), np.asarray(rd), pool[:, 6:9]], axis=-1
+                [np.asarray(ro), np.asarray(rd), pool[:, 6:9], world_d],
+                axis=-1,
             ).astype(np.float32)
         pool_j = jnp.asarray(pool)
         steps = {
@@ -195,18 +201,22 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
             (ci, pc): _make_sampled_step(
                 setup_variant(ci), K, bundle.near, bundle.far, n_rand,
                 pc, args.precrop_frac, mesh,
+                ndc=bundle.ndc, focal=float(data.hwf[2]),
             )
             for ci in (True, False) for pc in (True, False)
         }
 
     n_iters = args.num_iterations
     profile_n = getattr(args, "profile", 0)
+    profiling = False
     t0 = time.time()
     for i in range(start + 1, n_iters + 1):
         if profile_n and i == start + 3:   # skip compile steps
             jax.profiler.start_trace(os.path.join(exp_dir(args), "profile"))
-        if profile_n and i == start + 3 + profile_n:
+            profiling = True
+        if profiling and i == start + 3 + profile_n:
             jax.profiler.stop_trace()
+            profiling = False
             print("Wrote profiler trace to",
                   os.path.join(exp_dir(args), "profile"))
         key, ks = jax.random.split(key)
@@ -265,6 +275,8 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
             run_video(args, bundle, mcfg, rcfg, state=state, mesh=mesh,
                       step=i, setup=setup)
 
+    if profiling:  # run ended inside the profiled window
+        jax.profiler.stop_trace()
     ckio.save_checkpoint(exp_dir(args), n_iters, state)
     logger.close()
     print("Training complete.")

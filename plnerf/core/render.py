@@ -2,8 +2,8 @@
 resampling -> fine pass, as a single jit-compilable function with static
 shapes — no Python chunk loops in the hot path (the reference's
 ``batchify_rays``/``batchify`` memory chunking, run_plnerf.py:68-107, is
-replaced by ``lax.map`` over fixed-size megachunks in ``render_chunked``
-and by XLA's own tiling inside a chunk).
+replaced by ``lax.map`` over fixed-size megachunks in the eval renderer
+(eval/images.py _render_flat) and by XLA's own tiling inside a chunk).
 
 Behavioral reference: ``render_rays`` (run_plnerf.py:627-758) and the
 depth-supervision variant (depth_supervised_exps/
@@ -171,38 +171,6 @@ def render_rays(
             ret["weights"] = w[..., 1:] if (m == "linear" and rcfg.trim_first_weight) else w
             ret["z_vals"] = z_vals
     return ret
-
-
-def render_chunked(
-    params_coarse,
-    params_fine,
-    rays: jnp.ndarray,
-    key: jax.Array,
-    mcfg: ModelConfig,
-    rcfg: RenderConfig,
-    chunk: int = 32768,
-) -> Dict[str, jnp.ndarray]:
-    """Render an arbitrary number of packed rays with fixed-shape chunks.
-
-    Pads to a multiple of ``chunk``, maps ``render_rays`` over megachunks
-    with ``lax.map`` (sequential on-device, one compiled body), and unpads.
-    Equivalent of the reference batchify_rays (run_plnerf.py:95-107) without
-    host round-trips.
-    """
-    n = rays.shape[0]
-    n_chunks = max(1, -(-n // chunk))
-    pad = n_chunks * chunk - n
-    rays_p = jnp.pad(rays, ((0, pad), (0, 0)))
-    rays_p = rays_p.reshape(n_chunks, chunk, rays.shape[-1])
-    keys = jax.random.split(key, n_chunks)
-
-    def body(args):
-        rb, k = args
-        return render_rays(params_coarse, params_fine, rb, k, mcfg, rcfg)
-
-    out = jax.lax.map(body, (rays_p, keys))
-    out = jax.tree.map(lambda x: x.reshape(n_chunks * chunk, *x.shape[2:])[:n], out)
-    return out
 
 
 def make_ray_batch(rays_o, rays_d, near, far, use_viewdirs: bool,

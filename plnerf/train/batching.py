@@ -73,9 +73,13 @@ def sample_one_image_batch(
     use_viewdirs: bool,
     precrop: bool = False,
     precrop_frac: float = 0.5,
+    ndc: bool = False,
+    focal: float = 0.0,
 ):
     """One-image ray batch, fully on device.  Returns (rays [R, 8|11],
-    target [R, 3], img_idx)."""
+    target [R, 3], img_idx).  With ``ndc`` the packed origins/directions
+    are NDC-warped while viewdirs stay world-space (reference render()
+    front-end, run_plnerf.py:145-155)."""
     H, W = images.shape[1], images.shape[2]
     kimg, kpix = jax.random.split(key)
     ti = jax.random.randint(kimg, (), 0, i_train.shape[0])
@@ -88,7 +92,10 @@ def sample_one_image_batch(
 
     viewdirs = None
     if use_viewdirs:
+        # always from the PRE-NDC world direction
         viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    if ndc:
+        rays_o, rays_d = raysmod.ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
     packed = raysmod.pack_rays(rays_o, rays_d, near, far, viewdirs)
     return packed, target, img_i
 
@@ -115,13 +122,18 @@ def build_ray_pool(images: np.ndarray, poses: np.ndarray, K, i_train,
 
 def pool_batch(pool: jnp.ndarray, i_batch: jnp.ndarray, n_rand: int,
                near: float, far: float, use_viewdirs: bool):
-    """Contiguous slice from the shuffled pool, on device."""
+    """Contiguous slice from the shuffled pool, on device.
+
+    Pool rows are [o, d, rgb] (9 cols) or, for NDC pools,
+    [ndc_o, ndc_d, rgb, world_viewdirs] (12 cols) — viewdirs must come
+    from the pre-NDC world direction, matching the eval front-end."""
     rows = jax.lax.dynamic_slice(
         pool, (i_batch, 0), (n_rand, pool.shape[1])
     )
     rays_o, rays_d, target = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
     viewdirs = None
     if use_viewdirs:
-        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        vd = rows[:, 9:12] if pool.shape[1] >= 12 else rays_d
+        viewdirs = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
     packed = raysmod.pack_rays(rays_o, rays_d, near, far, viewdirs)
     return packed, target

@@ -52,3 +52,37 @@ def space_carving_loss(
     # each (ray, quantile) picks its best hypothesis
     best_hyp = jnp.min(distances, axis=0)               # [R, N]
     return jnp.mean(jnp.mean(best_hyp, axis=-1))
+
+
+def get_space_carving_idx(
+    pred_depth: jnp.ndarray,
+    target_hypothesis: jnp.ndarray,
+    is_joint: bool = False,
+    mask: Optional[jnp.ndarray] = None,
+    norm_p: int = 2,
+    threshold: float = 0.0,
+) -> jnp.ndarray:
+    """Best-hypothesis index per ray (or per image with ``is_joint``) —
+    reference depth_supervised_exps/model/run_nerf_helpers.py:19-49, used
+    by the hypothesis-caching (cimle) path.
+
+    pred_depth: [H, W, N]; target_hypothesis: [n_hyp, H, W, 1].
+    Returns int32 indices shaped [H, W, N] (joint mode broadcasts the one
+    per-image argmin)."""
+    n_points = pred_depth.shape[-1]
+    target = jnp.broadcast_to(
+        target_hypothesis,
+        target_hypothesis.shape[:-1] + (n_points,),
+    )
+    distances = jnp.abs(pred_depth[None] - target)     # [n_hyp, H, W, N]
+
+    if mask is not None:
+        distances = distances * mask[None]
+    if threshold > 0:
+        distances = jnp.where(distances < threshold, 0.0, distances)
+
+    if is_joint:
+        total = jnp.mean(distances, axis=(1, 2))       # [n_hyp, N]
+        best = jnp.argmin(total, axis=0)               # [N]
+        return jnp.broadcast_to(best, pred_depth.shape).astype(jnp.int32)
+    return jnp.argmin(distances, axis=0).astype(jnp.int32)

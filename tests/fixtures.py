@@ -137,3 +137,39 @@ def make_llff_scene(basedir, n=6):
         poses_rows.append(row)
     np.save(os.path.join(basedir, "poses_bounds.npy"), np.stack(poses_rows))
     return basedir
+
+
+def make_dtu_scene(root_dir, scene_id=5):
+    """DTU layout: Rectified/scan{id}_train/rect_{i+1:03d}_3_r5000.png (49
+    views) + Cameras/train/{i:08d}_cam.txt in the MVSNet text format."""
+    import numpy as np
+
+    from plnerf.data.dtu import _OPENCV2BLENDER, N_VIEWS
+
+    img_dir = os.path.join(root_dir, f"Rectified/scan{scene_id}_train")
+    cam_dir = os.path.join(root_dir, "Cameras/train")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(cam_dir, exist_ok=True)
+    sf = 1.0 / 200.0
+    inv_cv2b = np.linalg.inv(_OPENCV2BLENDER)
+    for i in range(N_VIEWS):
+        c2w = pose_spherical_np(-180 + i * 360.0 / N_VIEWS, -30.0, 4.0)
+        img = render_sphere_image(c2w, H, W, _focal(), white_bkgd=True)
+        _write_png(os.path.join(img_dir, f"rect_{i + 1:03d}_3_r5000.png"),
+                   img)
+        # loader: extr = file @ CV2B; extr[:3,3] *= sf; c2w = inv(extr)
+        w2c = np.linalg.inv(c2w)
+        target = w2c.copy()
+        target[:3, 3] /= sf
+        file_extr = target @ inv_cv2b
+        # loader: K_file * 4 * downsample must equal our pinhole K
+        K = np.array([[_focal(), 0, W / 2], [0, _focal(), H / 2],
+                      [0, 0, 1]], np.float64) / 4.0
+        lines = ["extrinsic"]
+        lines += [" ".join(f"{v:.8f}" for v in row) for row in file_extr]
+        lines += ["", "intrinsic"]
+        lines += [" ".join(f"{v:.8f}" for v in row) for row in K]
+        lines += ["", "400.0 4.1667"]   # near 2.0, far ~6.0 after sf
+        with open(os.path.join(cam_dir, f"{i:08d}_cam.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    return root_dir

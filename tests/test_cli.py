@@ -212,3 +212,39 @@ def test_llff_ndc_pool_training(tmp_path):
     metrics = open(os.path.join(ckpt_dir, "l", dirs[0],
                                 "metrics.txt")).read()
     assert "psnr" in metrics
+
+
+def test_dtu_cli_train_and_test(tmp_path):
+    """--dataset DTU end to end: 49-view fixture, split.json dump, short
+    train, test task."""
+    from fixtures import make_dtu_scene
+
+    data_dir = str(tmp_path / "dtu")
+    make_dtu_scene(data_dir, scene_id=5)
+    ckpt_dir = str(tmp_path / "dck")
+    common = [
+        "--dataset", "DTU", "--dtu_scene_id", "5", "--num_train", "42",
+        "--no_batching", "--use_viewdirs", "--N_rand", "64",
+        "--N_samples", "8", "--N_importance", "8", "--netdepth", "2",
+        "--netwidth", "16", "--multires", "4", "--multires_views", "2",
+        "--chunk", "256", "--i_print", "4", "--i_img", "99999",
+        "--i_testset", "99999", "--i_video", "99999",
+        "--data_dir", data_dir, "--ckpt_dir", ckpt_dir, "--expname", "d",
+    ]
+    plnerf_main(common + ["--task", "train", "--mode", "constant",
+                          "--num_iterations", "4", "--i_weights", "4"])
+    exp = os.path.join(ckpt_dir, "d")
+    assert os.path.exists(os.path.join(exp, "000004.ckpt"))
+    assert os.path.exists(os.path.join(exp, "split.json"))
+    with open(os.path.join(exp, "split.json")) as f:
+        split = json.load(f)
+    assert len(split["train_frames"]) == 42
+    assert len(split["test_frames"]) == 7
+    assert split["near"] == pytest.approx(2.0)
+
+    plnerf_main([
+        "--task", "test", "--ckpt_dir", ckpt_dir, "--expname", "d",
+        "--data_dir", data_dir, "--dataset", "DTU",
+    ])
+    dirs = [x for x in os.listdir(exp) if x.startswith("test_images_")]
+    assert dirs and os.path.exists(os.path.join(exp, dirs[0], "metrics.txt"))
