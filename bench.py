@@ -34,7 +34,10 @@ TARGET_MULTIPLIER = 5.0
 PER_CHIP_TARGET = TARGET_MULTIPLIER * V100_REFERENCE_RAYS_PER_SEC / 8.0
 
 N_RAND = 8192        # per-chip ray batch (16384 exceeds v5e HBM w/o remat)
-STEPS_PER_ROUND = 20
+INNER = 10           # optimization steps fused into one dispatch
+                     # (lax.scan; amortizes the 30-45 ms tunnel dispatch
+                     # latency against the ~2.4 ms device step)
+STEPS_PER_ROUND = 20         # dispatches per round => 200 steps/round
 N_ROUNDS = 3
 DEADLINE_S = 420
 
@@ -65,7 +68,7 @@ def main():
     )
     setup = train_step.TrainSetup(mcfg=mcfg, rcfg=rcfg)
     state = train_step.init_state(jax.random.key(0), setup)
-    stepf = train_step.make_train_step(setup)
+    stepf = train_step.make_multi_train_step(setup, INNER)
 
     k1, k2 = jax.random.split(jax.random.key(1))
     rays_d = jax.random.normal(k1, (N_RAND, 3))
@@ -75,7 +78,10 @@ def main():
         [origins, rays_d, jnp.full((N_RAND, 1), 2.0),
          jnp.full((N_RAND, 1), 6.0), rays_d], axis=-1,
     )
-    batch = {"rays": rays, "target": jnp.full((N_RAND, 3), 0.5)}
+    batch = {
+        "rays": jnp.broadcast_to(rays, (INNER,) + rays.shape),
+        "target": jnp.full((INNER, N_RAND, 3), 0.5),
+    }
 
     best = None  # fastest completed round (rays/sec)
     loss = float("nan")
@@ -94,10 +100,11 @@ def main():
                 state, metrics = stepf(state, batch, key)
             jax.block_until_ready(metrics["loss"])
             dt = time.perf_counter() - t0
-            rps = N_RAND * STEPS_PER_ROUND / dt
+            n_steps = STEPS_PER_ROUND * INNER
+            rps = N_RAND * n_steps / dt
             loss = float(metrics["loss"])
             best = max(best or 0.0, rps)
-            print(f"[bench] round {r}: {dt / STEPS_PER_ROUND * 1e3:.1f} "
+            print(f"[bench] round {r}: {dt / n_steps * 1e3:.2f} "
                   f"ms/step, {rps:,.0f} rays/s", file=sys.stderr, flush=True)
     except _Deadline:
         print("[bench] deadline hit (tunnel stall?); reporting best "

@@ -257,3 +257,68 @@ def make_depth_train_step(setup: TrainSetup):
         return state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_multi_train_step(setup: TrainSetup, n_inner: int):
+    """Fuse ``n_inner`` optimization steps into ONE device program with
+    ``lax.scan`` — one host dispatch per n_inner steps.
+
+    The reference dispatches one GPU step per Python iteration
+    (run_plnerf.py:1235); on TPU the host->device dispatch latency can
+    exceed the ~ms device step time (especially through remote runtimes),
+    so scanning K steps amortizes it by K.
+
+    batch: pytree of arrays with leading axis [n_inner, ...] (one slice
+    per inner step).  Returns (state, metrics) with metrics averaged over
+    the inner steps.
+    """
+    opt_fine, opt_coarse, _ = setup.make_optimizers()
+
+    def one_step(state: TrainState, batch, key):
+        if setup.joint_optimizer or state.params_fine is None:
+            def loss_fn(both):
+                pc, pf = both
+                return _render_loss(pc, pf, batch, key, setup)
+
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                (state.params_coarse, state.params_fine)
+            )
+            updates, opt_f = opt_fine.update(
+                grads, state.opt_fine, (state.params_coarse, state.params_fine)
+            )
+            pc, pf = optax.apply_updates(
+                (state.params_coarse, state.params_fine), updates
+            )
+            return state.replace(
+                params_coarse=pc, params_fine=pf, opt_fine=opt_f,
+                step=state.step + 1,
+            ), metrics
+
+        def loss_fn(pc, pf):
+            return _render_loss(pc, pf, batch, key, setup)
+
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.params_coarse, state.params_fine)
+        g_c, g_f = grads
+        up_f, opt_f = opt_fine.update(g_f, state.opt_fine, state.params_fine)
+        pf = optax.apply_updates(state.params_fine, up_f)
+        up_c, opt_c = opt_coarse.update(g_c, state.opt_coarse,
+                                        state.params_coarse)
+        pc = optax.apply_updates(state.params_coarse, up_c)
+        return state.replace(
+            params_coarse=pc, params_fine=pf,
+            opt_coarse=opt_c, opt_fine=opt_f, step=state.step + 1,
+        ), metrics
+
+    def step_fn(state: TrainState, batch, key):
+        keys = jax.random.split(key, n_inner)
+
+        def body(st, xs):
+            b, k = xs
+            return one_step(st, b, k)
+
+        state, metrics = jax.lax.scan(body, state, (batch, keys))
+        return state, jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics)
+
+    return jax.jit(step_fn, donate_argnums=(0,))
