@@ -164,6 +164,9 @@ def add_base_flags(parser: ConfigArgumentParser) -> None:
       help="float32 | bfloat16 matmul dtype for the NeRF MLP")
     a("--use_pallas", action="store_true",
       help="use the fused Pallas MLP kernel on TPU")
+    a("--steps_per_dispatch", type=int, default=1,
+      help="fuse N optimization steps into one device dispatch "
+           "(lax.scan); logging/ckpt cadences round to multiples of N")
     a("--remat", action="store_true",
       help="rematerialize the MLP in backward (jax.checkpoint) to raise "
            "the ray-batch memory ceiling")

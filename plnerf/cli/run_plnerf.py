@@ -35,7 +35,9 @@ from ..eval import images as EI
 from ..eval.lpips import load_lpips
 from ..parallel import mesh as pmesh
 from ..train import batching
-from ..train.step import TrainSetup, init_state, make_train_step
+from ..train.step import (
+    TrainSetup, build_one_step, init_state, make_train_step,
+)
 from ..utils.logging import MetricsLogger
 from .config import config_parser, resolve_args
 from .datasets import DatasetBundle, load_dataset
@@ -112,12 +114,14 @@ def _shard(x, mesh):
 
 def _make_sampled_step(setup: TrainSetup, K, near, far, n_rand,
                        precrop: bool, precrop_frac: float, mesh=None,
-                       ndc: bool = False, focal: float = 0.0):
-    """Fuse on-device batch sampling with the train step: one program."""
-    base = make_train_step(setup)
+                       ndc: bool = False, focal: float = 0.0,
+                       n_inner: int = 1):
+    """Fuse on-device batch sampling with the train step: one program.
+    With ``n_inner > 1`` a lax.scan runs that many sample+step iterations
+    per host dispatch (amortizes dispatch latency)."""
+    one_step = build_one_step(setup)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def run(state, images, poses, i_train, key):
+    def sample_and_step(state, images, poses, i_train, key):
         kb, ks = jax.random.split(key)
         rays, target, _ = batching.sample_one_image_batch(
             images, poses, K, i_train, kb, n_rand, near, far,
@@ -125,21 +129,49 @@ def _make_sampled_step(setup: TrainSetup, K, near, far, n_rand,
             ndc=ndc, focal=focal,
         )
         rays, target = _shard(rays, mesh), _shard(target, mesh)
-        return base(state, {"rays": rays, "target": target}, ks)
+        return one_step(state, {"rays": rays, "target": target}, ks)
+
+    if n_inner == 1:
+        return jax.jit(sample_and_step, donate_argnums=(0,))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run(state, images, poses, i_train, key):
+        keys = jax.random.split(key, n_inner)
+
+        def body(st, k):
+            return sample_and_step(st, images, poses, i_train, k)
+
+        state, metrics = jax.lax.scan(body, state, keys)
+        return state, jax.tree.map(lambda m: m[-1], metrics)
 
     return run
 
 
-def _make_pool_step(setup: TrainSetup, near, far, n_rand, mesh=None):
-    base = make_train_step(setup)
+def _make_pool_step(setup: TrainSetup, near, far, n_rand, mesh=None,
+                    n_inner: int = 1):
+    one_step = build_one_step(setup)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def run(state, pool, i_batch, key):
+    def slice_and_step(state, pool, i_batch, key):
         rays, target = batching.pool_batch(
             pool, i_batch, n_rand, near, far, setup.rcfg.use_viewdirs
         )
         rays, target = _shard(rays, mesh), _shard(target, mesh)
-        return base(state, {"rays": rays, "target": target}, key)
+        return one_step(state, {"rays": rays, "target": target}, key)
+
+    if n_inner == 1:
+        return jax.jit(slice_and_step, donate_argnums=(0,))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run(state, pool, i_batch, key):
+        keys = jax.random.split(key, n_inner)
+        offs = i_batch + jnp.arange(n_inner) * n_rand
+
+        def body(st, xs):
+            off, k = xs
+            return slice_and_step(st, pool, off, k)
+
+        state, metrics = jax.lax.scan(body, state, (offs, keys))
+        return state, jax.tree.map(lambda m: m[-1], metrics)
 
     return run
 
@@ -160,6 +192,7 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
 
     use_batching = not args.no_batching
     n_rand = args.N_rand
+    n_inner = max(1, getattr(args, "steps_per_dispatch", 1))
     key = jax.random.PRNGKey(args.seed)
 
     # step variants: (constant_init x precrop) jit-cached via TrainSetup
@@ -189,7 +222,7 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
         pool_j = jnp.asarray(pool)
         steps = {
             ci: _make_pool_step(setup_variant(ci), bundle.near, bundle.far,
-                                n_rand, mesh)
+                                n_rand, mesh, n_inner)
             for ci in (True, False)
         }
         i_batch = 0
@@ -201,7 +234,7 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
             (ci, pc): _make_sampled_step(
                 setup_variant(ci), K, bundle.near, bundle.far, n_rand,
                 pc, args.precrop_frac, mesh,
-                ndc=bundle.ndc, focal=float(data.hwf[2]),
+                ndc=bundle.ndc, focal=float(data.hwf[2]), n_inner=n_inner,
             )
             for ci in (True, False) for pc in (True, False)
         }
@@ -210,11 +243,12 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
     profile_n = getattr(args, "profile", 0)
     profiling = False
     t0 = time.time()
-    for i in range(start + 1, n_iters + 1):
-        if profile_n and i == start + 3:   # skip compile steps
+    for i in range(start + 1, n_iters + 1, n_inner):
+        i = i + n_inner - 1  # i = index of the LAST step in this dispatch
+        if profile_n and not profiling and i >= start + 3:  # skip compiles
             jax.profiler.start_trace(os.path.join(exp_dir(args), "profile"))
             profiling = True
-        if profiling and i == start + 3 + profile_n:
+        elif profiling and i >= start + 3 + profile_n:
             jax.profiler.stop_trace()
             profiling = False
             print("Wrote profiler trace to",
@@ -223,8 +257,8 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
         const_init = i < args.constant_init and rcfg.mode == "linear"
         if use_batching:
             state, metrics = steps[const_init](state, pool_j, i_batch, ks)
-            i_batch += n_rand
-            if i_batch + n_rand > pool_j.shape[0]:
+            i_batch += n_rand * n_inner
+            if i_batch + n_rand * n_inner > pool_j.shape[0]:
                 key, kperm = jax.random.split(key)
                 pool_j = jax.random.permutation(kperm, pool_j, axis=0)
                 i_batch = 0
@@ -234,7 +268,9 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
                 state, images_j, poses_j, i_train_j, ks
             )
 
-        if i % args.i_print == 0:
+        # fire when a multiple of the cadence falls inside this dispatch
+        # window (i - n_inner, i]  (n_inner == 1 -> i % P == 0, as before)
+        if i % args.i_print < n_inner:
             m = {k: float(v) for k, v in metrics.items()}
             m["steps_per_sec"] = args.i_print / max(time.time() - t0, 1e-9)
             t0 = time.time()
@@ -248,11 +284,11 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
                         f"[Numerical Fail] non-finite metrics at iter {i}: "
                         f"{bad} (reference DEBUG scan, run_plnerf.py:754)")
 
-        if i % args.i_weights == 0:
+        if i % args.i_weights < n_inner:
             path = ckio.save_checkpoint(exp_dir(args), i, state)
             print("Saved checkpoint at", path)
 
-        if i % args.i_img == 0 and len(bundle.i_val) > 0:
+        if i % args.i_img < n_inner and len(bundle.i_val) > 0:
             vi = int(bundle.i_val[(i // args.i_img) % len(bundle.i_val)])
             out = EI.render_image(
                 state.params_coarse, state.params_fine, data.poses[vi],
@@ -267,11 +303,11 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
                            prefix="val/")
             logger.image(i, "val/rgb", np.clip(out["rgb_map"], 0, 1))
 
-        if i % args.i_testset == 0 and i < n_iters:
+        if i % args.i_testset < n_inner and i < n_iters:
             run_test(args, bundle, mcfg, rcfg, state=state, mesh=mesh,
                      suffix=f"_{i:06d}", setup=setup)
 
-        if i % args.i_video == 0 and i < n_iters:
+        if i % args.i_video < n_inner and i < n_iters:
             run_video(args, bundle, mcfg, rcfg, state=state, mesh=mesh,
                       step=i, setup=setup)
 

@@ -144,11 +144,10 @@ def _render_loss(params_c, params_f, batch, key, setup: TrainSetup,
     return loss, metrics
 
 
-def make_train_step(setup: TrainSetup):
-    """Build the jitted NVS train step: (state, batch, key) -> (state, metrics).
-
-    batch["rays"]: [R, 8|11]; batch["target"]: [R, 3].
-    """
+def build_one_step(setup: TrainSetup):
+    """The un-jitted single optimization step (state, batch, key) ->
+    (state, metrics); shared by the jitted single-step, the scan-fused
+    multi-step and the driver's fused sampler+step programs."""
     opt_fine, opt_coarse, _ = setup.make_optimizers()
 
     def step_fn(state: TrainState, batch, key):
@@ -188,7 +187,15 @@ def make_train_step(setup: TrainSetup):
             )
         return state, metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return step_fn
+
+
+def make_train_step(setup: TrainSetup):
+    """Build the jitted NVS train step: (state, batch, key) -> (state, metrics).
+
+    batch["rays"]: [R, 8|11]; batch["target"]: [R, 3].
+    """
+    return jax.jit(build_one_step(setup), donate_argnums=(0,))
 
 
 def make_depth_train_step(setup: TrainSetup):
@@ -272,44 +279,7 @@ def make_multi_train_step(setup: TrainSetup, n_inner: int):
     per inner step).  Returns (state, metrics) with metrics averaged over
     the inner steps.
     """
-    opt_fine, opt_coarse, _ = setup.make_optimizers()
-
-    def one_step(state: TrainState, batch, key):
-        if setup.joint_optimizer or state.params_fine is None:
-            def loss_fn(both):
-                pc, pf = both
-                return _render_loss(pc, pf, batch, key, setup)
-
-            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                (state.params_coarse, state.params_fine)
-            )
-            updates, opt_f = opt_fine.update(
-                grads, state.opt_fine, (state.params_coarse, state.params_fine)
-            )
-            pc, pf = optax.apply_updates(
-                (state.params_coarse, state.params_fine), updates
-            )
-            return state.replace(
-                params_coarse=pc, params_fine=pf, opt_fine=opt_f,
-                step=state.step + 1,
-            ), metrics
-
-        def loss_fn(pc, pf):
-            return _render_loss(pc, pf, batch, key, setup)
-
-        (_, metrics), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(state.params_coarse, state.params_fine)
-        g_c, g_f = grads
-        up_f, opt_f = opt_fine.update(g_f, state.opt_fine, state.params_fine)
-        pf = optax.apply_updates(state.params_fine, up_f)
-        up_c, opt_c = opt_coarse.update(g_c, state.opt_coarse,
-                                        state.params_coarse)
-        pc = optax.apply_updates(state.params_coarse, up_c)
-        return state.replace(
-            params_coarse=pc, params_fine=pf,
-            opt_coarse=opt_c, opt_fine=opt_f, step=state.step + 1,
-        ), metrics
+    one_step = build_one_step(setup)
 
     def step_fn(state: TrainState, batch, key):
         keys = jax.random.split(key, n_inner)
