@@ -248,3 +248,32 @@ def test_dtu_cli_train_and_test(tmp_path):
     ])
     dirs = [x for x in os.listdir(exp) if x.startswith("test_images_")]
     assert dirs and os.path.exists(os.path.join(exp, dirs[0], "metrics.txt"))
+
+
+def test_fixed_dist_sweep(scene_dir, tmp_path):
+    """--task test_fixed_dist: multi-distance quadrature-stability sweep
+    (reference run_plnerf.py:1497-1560) over a fixed-dist fixture."""
+    from fixtures import make_fixed_dist_scene
+
+    data_dir, scene_id = scene_dir
+    eval_dir = str(tmp_path / "fixdata")
+    make_fixed_dist_scene(os.path.join(eval_dir, "fixscene"),
+                          dists=(0.25, 0.5, 0.75, 1.0), n=2)
+    ckpt_dir = str(tmp_path / "fck")
+    plnerf_main(TINY + [
+        "--task", "train", "--mode", "linear", "--constant_init", "2",
+        "--data_dir", data_dir, "--scene_id", scene_id,
+        "--ckpt_dir", ckpt_dir, "--expname", "fx",
+        "--num_iterations", "6", "--i_weights", "6",
+    ])
+    plnerf_main([
+        "--task", "test_fixed_dist", "--ckpt_dir", ckpt_dir,
+        "--expname", "fx", "--data_dir", data_dir, "--scene_id", scene_id,
+        "--white_bkgd", "--eval_data_dir", eval_dir,
+        "--eval_scene_id", "fixscene",
+    ])
+    exp = os.path.join(ckpt_dir, "fx")
+    for dist in ("0.25", "0.5", "0.75", "1.0"):
+        d = os.path.join(exp, f"test_images_dist{dist}_{scene_id}")
+        assert os.path.exists(os.path.join(d, "metrics.txt")), d
+        assert os.path.exists(os.path.join(d, "0_rgb.png"))
