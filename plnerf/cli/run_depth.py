@@ -105,6 +105,8 @@ def config_parser() -> ConfigArgumentParser:
     a("--train_skip", default=1, type=int)
     # TPU-native additions
     a("--lpips_weights", type=str, default=None)
+    a("--steps_per_dispatch", type=int, default=1,
+      help="fuse N optimization steps into one device dispatch")
     a("--mlp_dtype", type=str, default="float32")
     a("--use_pallas", action="store_true")
     a("--no_mesh", action="store_true")
@@ -166,14 +168,17 @@ def exp_dir(args) -> str:
     return os.path.join(args.ckpt_dir, args.expname)
 
 
-def _make_depth_step(setup: TrainSetup, n_rand: int, near, far, mesh=None):
+def _make_depth_step(setup: TrainSetup, n_rand: int, near, far, mesh=None,
+                     n_inner: int = 1):
     """Fused on-device: pick pixels of image img_i, build pixel-center rays
     from its vector intrinsics, gather targets + depth hypotheses + mask,
-    then run the depth train step."""
+    then run the depth train step.  With ``n_inner > 1`` a lax.scan fuses
+    that many (image-choice + sample + step) iterations into one dispatch;
+    the training image is then drawn on device instead of by the host
+    np.random.choice (reference :1113) — same distribution."""
     base = make_depth_train_step(setup)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def run(state, images, poses, intrinsics, hyp, sc_mask, img_i, key):
+    def one(state, images, poses, intrinsics, hyp, sc_mask, img_i, key):
         H, W = images.shape[1], images.shape[2]
         kpix, ks = jax.random.split(key)
         ky, kx = jax.random.split(kpix)
@@ -202,6 +207,22 @@ def _make_depth_step(setup: TrainSetup, n_rand: int, near, far, mesh=None):
                     mesh, pmesh.P(None, pmesh.DATA_AXIS))
             )
         return base(state, batch, ks)
+
+    if n_inner == 1:
+        return jax.jit(one, donate_argnums=(0,))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run(state, images, poses, intrinsics, hyp, sc_mask, i_train, key):
+        keys = jax.random.split(key, n_inner)
+
+        def body(st, k):
+            kimg, kstep = jax.random.split(k)
+            ti = jax.random.randint(kimg, (), 0, i_train.shape[0])
+            return one(st, images, poses, intrinsics, hyp, sc_mask,
+                       i_train[ti], kstep)
+
+        state, metrics = jax.lax.scan(body, state, keys)
+        return state, jax.tree.map(lambda m: m[-1], metrics)
 
     return run
 
@@ -242,18 +263,25 @@ def run_training(args, data, setup, mcfg, rcfg):
     poses_j = jnp.asarray(data.poses, jnp.float32)
     intr_j = jnp.asarray(data.intrinsics, jnp.float32)
 
-    step = _make_depth_step(setup, args.N_rand, data.near, data.far, mesh)
+    n_inner = max(1, getattr(args, "steps_per_dispatch", 1))
+    step = _make_depth_step(setup, args.N_rand, data.near, data.far, mesh,
+                            n_inner)
+    i_train_j = jnp.asarray(i_train)
     key = jax.random.PRNGKey(args.random_seed)
     rng = np.random.default_rng(args.random_seed)
     t0 = time.time()
-    for i in range(start + 1, args.num_iterations + 1):
+    for i in range(start + 1, args.num_iterations + 1, n_inner):
+        i = i + n_inner - 1  # last step of this dispatch
         key, ks = jax.random.split(key)
-        img_i = int(rng.choice(i_train))
-        state, metrics = step(
-            state, images_j, poses_j, intr_j, hyp, sc_mask,
-            jnp.asarray(img_i), ks,
-        )
-        if i % args.i_print == 0:
+        if n_inner == 1:
+            img_i = jnp.asarray(int(rng.choice(i_train)))
+            state, metrics = step(
+                state, images_j, poses_j, intr_j, hyp, sc_mask, img_i, ks)
+        else:
+            state, metrics = step(
+                state, images_j, poses_j, intr_j, hyp, sc_mask,
+                i_train_j, ks)
+        if i % args.i_print < n_inner:
             m = {k: float(v) for k, v in metrics.items()}
             m["steps_per_sec"] = args.i_print / max(time.time() - t0, 1e-9)
             t0 = time.time()
@@ -263,7 +291,27 @@ def run_training(args, data, setup, mcfg, rcfg):
             print(f"[DEPTH TRAIN] Iter: {i} Loss: {m['loss']:.5f} "
                   f"PSNR: {m['psnr']:.2f} SC: "
                   f"{m.get('space_carving_loss', 0.0):.5f}")
-        if i % args.i_weights == 0:
+        if i % args.i_img < n_inner and len(i_val) > 0:
+            # val view + depth RMSE (reference tb images, :1203-1232)
+            vi = int(i_val[(i // args.i_img) % len(i_val)])
+            out = EI.render_image(
+                state.params_coarse, state.params_fine, data.poses[vi],
+                data.hwf, data.intrinsics[vi], mcfg,
+                EI.test_render_config(rcfg), near=data.near, far=data.far,
+                chunk=args.chunk, mesh=mesh, pixel_center=True,
+            )
+            val_mse = float(np.mean(
+                (out["rgb_map"] - np.asarray(data.images[vi])) ** 2))
+            rec = {"mse": val_mse, "psnr": -10 * np.log10(val_mse)}
+            if data.gt_depths is not None:
+                gt = np.asarray(data.gt_depths[vi])[..., 0]
+                valid = np.asarray(data.gt_valid_depths[vi]).astype(bool)
+                if valid.any():
+                    rec["depth_rmse"] = float(np.sqrt(np.mean(
+                        (out["depth_map"][valid] - gt[valid]) ** 2)))
+            logger.scalars(i, rec, prefix="val/")
+            logger.image(i, "val/rgb", np.clip(out["rgb_map"], 0, 1))
+        if i % args.i_weights < n_inner:
             print("Saved", ckio.save_checkpoint(exp_dir(args), i, state))
     ckio.save_checkpoint(exp_dir(args), args.num_iterations, state)
     logger.close()
