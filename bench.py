@@ -4,7 +4,8 @@ Headline metric (BASELINE.md): rays/sec/chip for the full hierarchical
 training step at the blender recipe's sample counts (N_samples=64 +
 N_importance=128, constant mode — the heavier of the two shipped recipes),
 8x256 MLPs, viewdirs, white background — i.e. one fused jit containing
-render (coarse+fine), loss, backward, and both Adam updates.
+render (coarse+fine), loss, backward, and both Adam updates, with INNER
+steps scan-fused per dispatch.
 
 Baseline derivation (the reference publishes no numbers, BASELINE.md):
 nerf-pytorch-style training on a V100 runs the 1024-ray / 64+192-eval step
@@ -13,11 +14,14 @@ V100 throughput on a v5e-8 at matched PSNR (BASELINE.json), i.e.
 5 * 2800 = 14,000 rays/s aggregate => 1,750 rays/s/chip.  vs_baseline
 reported here is measured_rays_per_sec_per_chip / 1750.
 
-Robustness: the axon TPU tunnel in this container intermittently stalls
-RPCs for minutes (see memory: axon-tpu-relay-flakiness).  Measurement runs
-in rounds with a SIGALRM watchdog; if the deadline fires after at least
-one completed round, the best completed round is reported rather than
-hanging the driver.
+Measurement integrity: through this container's axon relay
+``block_until_ready`` often acks BEFORE device completion (measured
+"0.12 ms/step" rounds, 30x past the chip's peak FLOP/s), so each round is
+closed by materializing the loss VALUE — a device->host fetch cannot
+complete early.  The fetch itself can stall on the relay, which only
+makes the measurement conservative.  Rounds are additionally validated
+against a FLOP floor; a SIGALRM watchdog reports the best valid round if
+the relay stalls outright.
 
 Prints exactly ONE JSON line on stdout.
 """
@@ -33,13 +37,18 @@ V100_REFERENCE_RAYS_PER_SEC = 2800.0
 TARGET_MULTIPLIER = 5.0
 PER_CHIP_TARGET = TARGET_MULTIPLIER * V100_REFERENCE_RAYS_PER_SEC / 8.0
 
-N_RAND = 8192        # per-chip ray batch (16384 exceeds v5e HBM w/o remat)
-INNER = 10           # optimization steps fused into one dispatch
-                     # (lax.scan; amortizes the 30-45 ms tunnel dispatch
-                     # latency against the ~2.4 ms device step)
-STEPS_PER_ROUND = 20         # dispatches per round => 200 steps/round
+N_RAND = 8192        # per-chip ray batch (16384 exceeds v5e HBM)
+INNER = 10           # optimization steps fused into one dispatch (lax.scan)
+STEPS_PER_ROUND = 10  # dispatches per round => 100 steps/round
 N_ROUNDS = 3
 DEADLINE_S = 420
+
+# physical sanity floor: fwd+bwd+opt FLOPs per step / generous peak.
+# points/step = N_RAND * (64 coarse + 192 fine); ~0.99 MFLOP per point
+# forward for the 8x256 MLP pair; x3 for backward.
+_FLOPS_PER_STEP = N_RAND * 256 * 0.99e6 * 3
+_PEAK_FLOPS = 400e12            # ~2x the v5e bf16 peak: deliberately loose
+MIN_STEP_S = _FLOPS_PER_STEP / _PEAK_FLOPS
 
 
 class _Deadline(Exception):
@@ -83,41 +92,44 @@ def main():
         "target": jnp.full((INNER, N_RAND, 3), 0.5),
     }
 
-    best = None  # fastest completed round (rays/sec)
-    loss = float("nan")
+    best = None  # fastest VALID completed round (rays/sec)
     try:
         # compile + warmup (second call settles dispatch caches)
         key = jax.random.key(2)
         for _ in range(2):
             state, metrics = stepf(state, batch, key)
             jax.block_until_ready(metrics["loss"])
-        print("[bench] warmup done", file=sys.stderr, flush=True)
+        print(f"[bench] warmup done (flop floor {MIN_STEP_S*1e3:.1f} "
+              f"ms/step)", file=sys.stderr, flush=True)
 
+        n_steps = STEPS_PER_ROUND * INNER
         for r in range(N_ROUNDS):
             t0 = time.perf_counter()
             for i in range(STEPS_PER_ROUND):
                 key = jax.random.fold_in(key, r * STEPS_PER_ROUND + i)
                 state, metrics = stepf(state, batch, key)
-            jax.block_until_ready(metrics["loss"])
+            loss_val = float(metrics["loss"])   # forces real completion
             dt = time.perf_counter() - t0
-            n_steps = STEPS_PER_ROUND * INNER
+            per_step = dt / n_steps
             rps = N_RAND * n_steps / dt
-            loss = float(metrics["loss"])
-            best = max(best or 0.0, rps)
-            print(f"[bench] round {r}: {dt / n_steps * 1e3:.2f} "
-                  f"ms/step, {rps:,.0f} rays/s", file=sys.stderr, flush=True)
+            valid = per_step >= MIN_STEP_S
+            tag = "" if valid else "  [DISCARDED: faster than FLOP floor"\
+                " => premature relay ack]"
+            print(f"[bench] round {r}: {per_step*1e3:.2f} ms/step, "
+                  f"{rps:,.0f} rays/s{tag}", file=sys.stderr, flush=True)
+            if valid:
+                best = max(best or 0.0, rps)
     except _Deadline:
-        print("[bench] deadline hit (tunnel stall?); reporting best "
-              "completed round", file=sys.stderr, flush=True)
+        print("[bench] deadline hit (relay stall); reporting best valid "
+              "round so far", file=sys.stderr, flush=True)
         if best is None:
-            raise SystemExit("bench: no round completed before deadline")
+            raise SystemExit("bench: no valid round completed")
     finally:
         signal.alarm(0)
 
-    print(
-        f"[bench] backend={jax.default_backend()} n_rand={N_RAND} "
-        f"loss={loss:.4f}", file=sys.stderr, flush=True,
-    )
+    if best is None:
+        raise SystemExit("bench: every round was below the FLOP floor "
+                         "(relay acked early); no trustworthy measurement")
     result = {
         "metric": "train_rays_per_sec_per_chip",
         "value": round(best, 1),

@@ -88,10 +88,12 @@ class RenderConfig:
     mlp_dtype: str = "float32"
     # Use the fused Pallas MLP kernel when available.
     use_pallas_mlp: bool = False
-    # Rematerialize the MLP in backward (jax.checkpoint): trades ~1 extra
-    # forward for dropping all [rays, samples, width] layer activations
-    # from HBM — raises the ray-batch ceiling ~4x (a 16k-ray 64+128-sample
-    # step otherwise needs 28.6 GB HBM on v5e, measured 2026-08-16).
+    # Rematerialize the MLP in backward (jax.checkpoint): the fwd pass
+    # keeps only the MLP inputs live between coarse/fine passes.  NOTE
+    # (measured 2026-08-16): it does NOT lift the single-pass HBM peak —
+    # the backward recompute still materializes all layer activations of
+    # one pass at once, so a 16k-ray 64+128-sample v5e step OOMs with or
+    # without it.  Useful when several render passes coexist.
     remat_mlp: bool = False
 
     @property

@@ -85,17 +85,18 @@ def init_nerf_params(key: jax.Array, cfg: ModelConfig) -> Params:
     return params
 
 
-def _dense(x, layer, dtype):
+def _dense(x, layer, dtype, out_dtype=jnp.float32):
     # float32 path: force true fp32 matmuls (TPU default would silently
     # round operands to bf16); bfloat16 path: fast MXU-native matmuls with
-    # fp32 accumulation.
+    # fp32 accumulation.  ``out_dtype=bf16`` (hidden layers in bf16 mode)
+    # makes the dot emit bf16 directly — profiled on v5e, f32 dot outputs
+    # of shape [rays, samples, 256] were materialized between fusions at
+    # ~1.6 GB each because the relu lives in a separate fusion.
     w = layer["w"].astype(dtype)
     precision = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
-    return (
-        jnp.dot(x.astype(dtype), w, precision=precision,
-                preferred_element_type=jnp.float32)
-        + layer["b"]
-    )
+    out = jnp.dot(x.astype(dtype), w, precision=precision,
+                  preferred_element_type=out_dtype)
+    return out + layer["b"].astype(out_dtype)
 
 
 def apply_mlp(
@@ -110,19 +111,29 @@ def apply_mlp(
     pts_embed: [..., input_ch]; views_embed: [..., input_ch_views(+cam)] or
     None.  Returns raw [..., 4] (rgb logits + density channel).
     Mirrors reference NeRF.forward (run_nerf_helpers.py:105-128).
+
+    In bf16 mode hidden activations are stored bf16 between layers: the
+    next dot would round them to bf16 anyway, so forward values are
+    unchanged while the residuals autodiff saves for backward halve —
+    profiled on v5e, the f32 [rays, samples, 256] activation writes were
+    the single largest cost of a training step.
     """
+    act_dtype = dtype if dtype == jnp.bfloat16 else jnp.float32
+
     h = pts_embed
     for i, layer in enumerate(params["pts_linears"]):
-        h = jax.nn.relu(_dense(h, layer, dtype))
+        h = jax.nn.relu(_dense(h, layer, dtype, act_dtype))
         if i in cfg.skips:
-            h = jnp.concatenate([pts_embed, h], axis=-1)
+            h = jnp.concatenate([pts_embed.astype(act_dtype), h], axis=-1)
 
+    # heads stay fp32: raw sigma/rgb feed the quadrature
     if cfg.use_viewdirs:
         alpha = _dense(h, params["alpha_linear"], dtype)
-        feature = _dense(h, params["feature_linear"], dtype)
-        h = jnp.concatenate([feature, views_embed], axis=-1)
+        feature = _dense(h, params["feature_linear"], dtype, act_dtype)
+        h = jnp.concatenate(
+            [feature, views_embed.astype(act_dtype)], axis=-1)
         for layer in params["views_linears"]:
-            h = jax.nn.relu(_dense(h, layer, dtype))
+            h = jax.nn.relu(_dense(h, layer, dtype, act_dtype))
         rgb = _dense(h, params["rgb_linear"], dtype)
         out = jnp.concatenate([rgb, alpha], axis=-1)
     else:

@@ -16,18 +16,18 @@ padded channels stay exactly 0 through every layer; outputs are bit-equal
 (fp32) to the unpadded XLA path up to dot-product association order
 (measured max abs err 3e-8 on a v5e at N=2048).
 
-Training: ``apply`` carries a custom VJP whose backward recomputes through
-the XLA ``apply_mlp`` — gradients are exact.
+Training: ``apply`` carries a custom VJP.  For the viewdirs topology the
+backward is a fused Pallas kernel too (``_bwd_kernel``): activations are
+recomputed tile-by-tile in VMEM and weight/bias grads accumulate across
+sequential grid steps in revisited VMEM blocks; gradient parity vs the
+XLA vjp is tested to 1e-4.  Other topologies fall back to an XLA vjp.
 
-Measured on TPU v5e (786k points, 8x256 viewdirs MLP, 2026-08-16):
-XLA bf16 9.9 ms vs this kernel 11.7 ms; XLA fp32(HIGHEST) 34.1 ms vs
-41.2 ms — XLA's own matmul pipelining already keeps this MLP
-MXU-bound at these sizes (weights are grid-invariant blocks that Mosaic
-keeps VMEM-resident either way), so the kernel is kept OPT-IN
-(``RenderConfig.use_pallas_mlp`` / ``--use_pallas``) as the substrate for
-a future fused forward+backward training kernel rather than a default.
-fp32 tiles >= 2048 exceed the per-kernel VMEM budget and fail to compile;
-use tile <= 1024.
+Measured on TPU v5e (2026-08-16): after the profiling-driven XLA-path
+fixes (bf16 dot outputs + bf16 stored activations, masked-sum gathers)
+the full training step runs 113.6 ms/step XLA vs 120.4 ms/step with this
+kernel pair at 8192 rays — XLA's fusions are already near-parity, so the
+kernel stays OPT-IN (``RenderConfig.use_pallas_mlp`` / ``--use_pallas``).
+fp32 tiles >= 2048 exceed the per-kernel VMEM budget; use tile <= 1024.
 """
 from __future__ import annotations
 
@@ -204,9 +204,6 @@ def _forward(params, pts_embed, views_embed, cfg: ModelConfig,
             [out[:N, 0:3], out[:N, LANE - 1:LANE]], axis=-1)
     else:
         raw = out[:N, :4]  # output_linear layout: [rgb(3), sigma, ...]
-    if cfg.density_activation == "softplus10":
-        dens = jax.nn.softplus(10.0 * raw[..., 3:]) / 10.0
-        raw = jnp.concatenate([raw[..., :3], dens], axis=-1)
     return raw
 
 
@@ -224,15 +221,223 @@ def _apply_fwd(params, pts_embed, views_embed, cfg, dtype_name, tile,
     return out, (params, pts_embed, views_embed)
 
 
-def _apply_bwd(cfg, dtype_name, tile, interpret, res, g):
-    """Exact gradients by recomputing through the XLA reference path."""
-    from ..core.mlp import apply_mlp
 
+
+def _bwd_kernel(cfg: ModelConfig, n_layers: int, dtype, in_p, w_p, v_p, h_p,
+                x_ref, v_ref, g_ref, *refs):
+    """Backward for the viewdirs topology, one tile per grid step.
+
+    Recomputes the forward activations in VMEM, then backpropagates.
+    Weight/bias grad outputs use a constant index map, so the same VMEM
+    block is revisited every grid step: zero-initialized at step 0 and
+    accumulated in place (sequential TPU grid).
+    """
+    n_w = 2 * n_layers + 8            # weight/bias refs
+    wrefs = refs[:n_w]
+    outs = refs[n_w:]
+    dx_ref, dv_ref = outs[0], outs[1]
+    grad_refs = outs[2:]              # matches wrefs order
+
+    precision = (jax.lax.Precision.HIGHEST
+                 if dtype == jnp.float32 else None)
+
+    def mm(a, b):                     # [T,K] @ [K,M]
+        return jax.lax.dot_general(
+            a.astype(dtype), b.astype(dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    def mm_tn(a, b):                  # a^T @ b : [T,K]^T [T,M] -> [K,M]
+        return jax.lax.dot_general(
+            a.astype(dtype), b.astype(dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    def mm_nt(a, b):                  # a @ b^T : [T,M] [K,M]^T -> [T,K]
+        return jax.lax.dot_general(
+            a.astype(dtype), b.astype(dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for gr in grad_refs:
+            gr[...] = jnp.zeros(gr.shape, gr.dtype)
+
+    def acc(idx, dw, db):
+        grad_refs[idx][...] += dw
+        grad_refs[idx + 1][...] += db.reshape(1, -1)
+
+    # ---- forward recompute, keeping per-layer inputs & relu outputs ----
+    x = x_ref[:].astype(jnp.float32)
+    v = v_ref[:].astype(jnp.float32)
+    inputs, relus = [], []
+    h = x
+    for i in range(n_layers):
+        inputs.append(h)
+        r = jnp.maximum(
+            mm(h, wrefs[2 * i][:]) + wrefs[2 * i + 1][:], 0.0)
+        relus.append(r)
+        h = jnp.concatenate([x, r], axis=-1) if i in cfg.skips else r
+
+    ri = 2 * n_layers
+    wa, wf = wrefs[ri][:], wrefs[ri + 2][:]
+    wv, wr = wrefs[ri + 4][:], wrefs[ri + 6][:]
+    h_last = h
+    feature = mm(h_last, wf) + wrefs[ri + 3][:]
+    hv_in = jnp.concatenate([feature, v], axis=-1)
+    z = jnp.maximum(mm(hv_in, wv) + wrefs[ri + 5][:], 0.0)
+
+    # ---- backward ----
+    g = g_ref[:].astype(jnp.float32)           # [T, 128]
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+    d_rgb = jnp.where(lane_idx == LANE - 1, 0.0, g)
+    d_alpha = jnp.where(lane_idx == 0, g[:, LANE - 1:LANE], 0.0)
+
+    acc(ri + 6, mm_tn(z, d_rgb), jnp.sum(d_rgb, axis=0))      # dWr, dbr
+    dz = mm_nt(d_rgb, wr)
+    da_v = jnp.where(z > 0.0, dz, 0.0)
+    acc(ri + 4, mm_tn(hv_in, da_v), jnp.sum(da_v, axis=0))    # dWv, dbv
+    dhv = mm_nt(da_v, wv)
+    dfeat = dhv[:, :w_p]
+    dv_ref[:] = dhv[:, w_p:]
+
+    acc(ri + 2, mm_tn(h_last, dfeat), jnp.sum(dfeat, axis=0))  # dWf, dbf
+    acc(ri, mm_tn(h_last, d_alpha), jnp.sum(d_alpha, axis=0))  # dWa, dba
+    dh = mm_nt(dfeat, wf) + mm_nt(d_alpha, wa)
+
+    dx = jnp.zeros_like(x)
+    for i in range(n_layers - 1, -1, -1):
+        if i in cfg.skips:
+            dx += dh[:, :in_p]
+            dr = dh[:, in_p:]
+        else:
+            dr = dh
+        da = jnp.where(relus[i] > 0.0, dr, 0.0)
+        acc(2 * i, mm_tn(inputs[i], da), jnp.sum(da, axis=0))
+        dh = mm_nt(da, wrefs[2 * i][:])
+    dx += dh
+    dx_ref[:] = dx
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "dtype_name", "tile", "interpret")
+)
+def _backward(params, pts_embed, views_embed, g, cfg: ModelConfig,
+              dtype_name: str, tile: int, interpret: bool):
+    """Fused backward: returns (dparams, dx, dv)."""
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    N, in_ch = pts_embed.shape
+    W = cfg.netwidth
+    in_p, w_p, h_p = _rup(in_ch), _rup(W), _rup(W // 2)
+    vch = views_embed.shape[-1]
+    v_p = _rup(vch)
+
+    n_tiles = -(-N // tile)
+    n_pad = n_tiles * tile
+    x = jnp.pad(pts_embed, ((0, n_pad - N), (0, in_p - in_ch))).astype(dtype)
+    v = jnp.pad(views_embed, ((0, n_pad - N), (0, v_p - vch))).astype(dtype)
+    # cotangent [N, 4] -> kernel layout [N, 128]: rgb cols 0-2, alpha last
+    g128 = jnp.zeros((n_pad, LANE), jnp.float32)
+    g128 = g128.at[:N, 0:3].set(g[:, 0:3])
+    g128 = g128.at[:N, LANE - 1].set(g[:, 3])
+
+    weights = _padded_weights(params, cfg, in_p, w_p, v_p, h_p, dtype)
+    n_layers = len(params["pts_linears"])
+
+    kern = functools.partial(_bwd_kernel, cfg, n_layers, dtype,
+                             in_p, w_p, v_p, h_p)
+    wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
+    grad_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32)
+                   for w in weights]
+    grad_specs = [
+        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for w in weights
+    ]
+
+    out_shapes = (
+        [jax.ShapeDtypeStruct((n_pad, in_p), jnp.float32),
+         jax.ShapeDtypeStruct((n_pad, v_p), jnp.float32)] + grad_shapes
+    )
+    out_specs = (
+        [pl.BlockSpec((tile, in_p), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM),
+         pl.BlockSpec((tile, v_p), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)] + grad_specs
+    )
+
+    outs = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, in_p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, v_p), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *wspecs,
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(x, v, g128, *weights)
+
+    dx = outs[0][:N, :in_ch]
+    dv = outs[1][:N, :vch]
+    grads = outs[2:]
+
+    # ---- unpad the weight grads back into the param pytree layout ----
+    in_ch_, W_ = in_ch, W
+    dparams = {"pts_linears": []}
+    gi = 0
+    for i in range(n_layers):
+        dw, db = grads[gi], grads[gi + 1]
+        gi += 2
+        if (i - 1) in cfg.skips:
+            w_orig = jnp.concatenate(
+                [dw[:in_ch_, :W_], dw[in_p: in_p + W_, :W_]], axis=0)
+        else:
+            rows = params["pts_linears"][i]["w"].shape[0]
+            w_orig = dw[:rows, :W_]
+        dparams["pts_linears"].append(
+            {"w": w_orig, "b": db[0, :W_]})
+
+    dwa, dba = grads[gi], grads[gi + 1]
+    dwf, dbf = grads[gi + 2], grads[gi + 3]
+    dwv, dbv = grads[gi + 4], grads[gi + 5]
+    dwr, dbr = grads[gi + 6], grads[gi + 7]
+    vrows = params["views_linears"][0]["w"].shape[0]
+    dparams["alpha_linear"] = {"w": dwa[:W_, :1], "b": dba[0, :1]}
+    dparams["feature_linear"] = {"w": dwf[:W_, :W_], "b": dbf[0, :W_]}
+    dparams["views_linears"] = [{
+        "w": jnp.concatenate(
+            [dwv[:W_, : W_ // 2], dwv[w_p: w_p + vrows - W_, : W_ // 2]],
+            axis=0),
+        "b": dbv[0, : W_ // 2],
+    }]
+    dparams["rgb_linear"] = {"w": dwr[: W_ // 2, :3], "b": dbr[0, :3]}
+    return dparams, dx, dv
+
+
+def _apply_bwd(cfg, dtype_name, tile, interpret, res, g):
+    """Exact gradients: fused Pallas backward for the viewdirs topology
+    (activations recomputed tile-by-tile in VMEM, dW accumulated across
+    the grid); XLA-vjp fallback otherwise."""
     params, pts_embed, views_embed = res
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
+    if cfg.use_viewdirs and views_embed is not None:
+        return _backward(params, pts_embed, views_embed, g, cfg,
+                         dtype_name, tile, interpret)
+
+    from ..core.mlp import apply_mlp
+    import dataclasses as _dc
+
+    cfg_plain = _dc.replace(cfg, density_activation="none")
+
     def f(p, x, v):
-        return apply_mlp(p, x, v, cfg, dtype)
+        return apply_mlp(p, x, v, cfg_plain, dtype)
 
     if views_embed is None:
         _, vjp = jax.vjp(lambda p, x: f(p, x, None), params, pts_embed)
@@ -262,4 +467,8 @@ def apply(params, pts_embed: jnp.ndarray,
         ).reshape(-1, views_embed.shape[-1])
     dtype_name = "bfloat16" if dtype == jnp.bfloat16 else "float32"
     raw = _apply_flat(params, x, v, cfg, dtype_name, tile, interpret)
+    if cfg.density_activation == "softplus10":
+        # outside the custom-vjp'd core: autodiff handles the softplus
+        dens = jax.nn.softplus(10.0 * raw[..., 3:]) / 10.0
+        raw = jnp.concatenate([raw[..., :3], dens], axis=-1)
     return raw.reshape(lead + (4,))
