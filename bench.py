@@ -1,11 +1,12 @@
 """Benchmark: training-step ray throughput on the real TPU chip.
 
 Headline metric (BASELINE.md): rays/sec/chip for the full hierarchical
-training step at the blender recipe's sample counts (N_samples=64 +
-N_importance=128, constant mode — the heavier of the two shipped recipes),
-8x256 MLPs, viewdirs, white background — i.e. one fused jit containing
-render (coarse+fine), loss, backward, and both Adam updates, with INNER
-steps scan-fused per dispatch.
+training step at the FLAGSHIP blender recipe — piecewise-linear mode with
+N_samples=128 + N_importance=64 (configs/blender_linear.txt; 320 MLP
+points/ray, the heavier of the two shipped recipes, plus the analytic
+PL importance sampler) — 8x256 MLPs, viewdirs, white background: one
+fused jit containing render (coarse+fine), loss, backward, and both Adam
+updates, with INNER steps scan-fused per dispatch.
 
 Baseline derivation (the reference publishes no numbers, BASELINE.md):
 nerf-pytorch-style training on a V100 runs the 1024-ray / 64+192-eval step
@@ -44,9 +45,9 @@ N_ROUNDS = 3
 DEADLINE_S = 420
 
 # physical sanity floor: fwd+bwd+opt FLOPs per step / generous peak.
-# points/step = N_RAND * (64 coarse + 192 fine); ~0.99 MFLOP per point
+# points/step = N_RAND * (128 coarse + 192 fine); ~0.99 MFLOP per point
 # forward for the 8x256 MLP pair; x3 for backward.
-_FLOPS_PER_STEP = N_RAND * 256 * 0.99e6 * 3
+_FLOPS_PER_STEP = N_RAND * 320 * 0.99e6 * 3
 _PEAK_FLOPS = 400e12            # ~2x the v5e bf16 peak: deliberately loose
 MIN_STEP_S = _FLOPS_PER_STEP / _PEAK_FLOPS
 
@@ -71,7 +72,7 @@ def main():
 
     mcfg = ModelConfig()
     rcfg = RenderConfig(
-        n_samples=64, n_importance=128, mode="constant",
+        n_samples=128, n_importance=64, mode="linear",
         color_mode="midpoint", white_bkgd=True, perturb=True,
         raw_noise_std=0.0, mlp_dtype="bfloat16",
     )

@@ -65,10 +65,14 @@ class ConfigArgumentParser(argparse.ArgumentParser):
                                            argparse._StoreFalseAction)):
                         defaults[action.dest] = raw.lower() in (
                             "true", "1", "yes")
+                    elif action.nargs not in (None, "?"):
+                        # multi-value flags: split first, then apply type
+                        vals = shlex.split(raw)
+                        if action.type is not None:
+                            vals = [action.type(v) for v in vals]
+                        defaults[action.dest] = vals
                     elif action.type is not None:
                         defaults[action.dest] = action.type(raw)
-                    elif action.nargs in ("*", "+"):
-                        defaults[action.dest] = shlex.split(raw)
                     else:
                         defaults[action.dest] = raw
             unknown = set(file_vals) - {a.dest for a in self._actions}

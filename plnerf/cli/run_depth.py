@@ -266,22 +266,36 @@ def run_training(args, data, setup, mcfg, rcfg):
     n_inner = max(1, getattr(args, "steps_per_dispatch", 1))
     step = _make_depth_step(setup, args.N_rand, data.near, data.far, mesh,
                             n_inner)
+    step1 = (step if n_inner == 1 else
+             _make_depth_step(setup, args.N_rand, data.near, data.far,
+                              mesh, 1))
     i_train_j = jnp.asarray(i_train)
     key = jax.random.PRNGKey(args.random_seed)
     rng = np.random.default_rng(args.random_seed)
     t0 = time.time()
-    for i in range(start + 1, args.num_iterations + 1, n_inner):
-        i = i + n_inner - 1  # last step of this dispatch
-        key, ks = jax.random.split(key)
-        if n_inner == 1:
-            img_i = jnp.asarray(int(rng.choice(i_train)))
-            state, metrics = step(
-                state, images_j, poses_j, intr_j, hyp, sc_mask, img_i, ks)
-        else:
+    i0 = start + 1
+    while i0 <= args.num_iterations:
+        window_end = min(i0 + n_inner - 1, args.num_iterations)
+        n_this = window_end - i0 + 1
+        i = window_end
+        if n_this == n_inner and n_inner > 1:
+            key, ks = jax.random.split(key)
             state, metrics = step(
                 state, images_j, poses_j, intr_j, hyp, sc_mask,
                 i_train_j, ks)
-        if i % args.i_print < n_inner:
+        else:
+            for _ in range(n_this):
+                key, ks = jax.random.split(key)
+                img_i = jnp.asarray(int(rng.choice(i_train)))
+                state, metrics = step1(
+                    state, images_j, poses_j, intr_j, hyp, sc_mask,
+                    img_i, ks)
+        i0 = window_end + 1
+
+        def fires(period):
+            return i // period > (i - n_this) // period
+
+        if fires(args.i_print):
             m = {k: float(v) for k, v in metrics.items()}
             m["steps_per_sec"] = args.i_print / max(time.time() - t0, 1e-9)
             t0 = time.time()
@@ -291,7 +305,7 @@ def run_training(args, data, setup, mcfg, rcfg):
             print(f"[DEPTH TRAIN] Iter: {i} Loss: {m['loss']:.5f} "
                   f"PSNR: {m['psnr']:.2f} SC: "
                   f"{m.get('space_carving_loss', 0.0):.5f}")
-        if i % args.i_img < n_inner and len(i_val) > 0:
+        if fires(args.i_img) and len(i_val) > 0:
             # val view + depth RMSE (reference tb images, :1203-1232)
             vi = int(i_val[(i // args.i_img) % len(i_val)])
             out = EI.render_image(
@@ -311,9 +325,10 @@ def run_training(args, data, setup, mcfg, rcfg):
                         (out["depth_map"][valid] - gt[valid]) ** 2)))
             logger.scalars(i, rec, prefix="val/")
             logger.image(i, "val/rgb", np.clip(out["rgb_map"], 0, 1))
-        if i % args.i_weights < n_inner:
-            print("Saved", ckio.save_checkpoint(exp_dir(args), i, state))
-    ckio.save_checkpoint(exp_dir(args), args.num_iterations, state)
+        if fires(args.i_weights):
+            print("Saved", ckio.save_checkpoint(exp_dir(args),
+                                                int(state.step), state))
+    ckio.save_checkpoint(exp_dir(args), int(state.step), state)
     logger.close()
 
 
@@ -379,16 +394,15 @@ def run(args):
         i_video = (np.asarray(data.i_split[3])
                    if len(data.i_split) > 3 else i_test)
         savedir = os.path.join(exp_dir(args), "video")
-        rgbs, disps = EI.render_path(
+        rgbs, _, depths = EI.render_path(
             state.params_coarse, state.params_fine,
             np.asarray(data.poses)[i_video], data.hwf, data.K, mcfg,
             test_rcfg, near=data.near, far=data.far, chunk=args.chunk,
             savedir=savedir, mesh=mesh, pixel_center=True,
         )
         EI.write_video(os.path.join(savedir, "video.mp4"), rgbs, fps=10)
-        # 16-bit + TURBO depth frames (reference render_video :283-300);
-        # depth = 1/disp with the renderer's disp floor
-        depths = np.where(disps > 1e-9, 1.0 / np.maximum(disps, 1e-9), 0.0)
+        # 16-bit + TURBO depth frames from the renderer's expected depth
+        # (reference render_video writes extras['depth_map'], :283-300)
         EI.write_depth_video_frames(savedir, depths, far=data.far)
     else:
         raise SystemExit(f"Unknown task {args.task}")

@@ -220,9 +220,13 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
                 axis=-1,
             ).astype(np.float32)
         pool_j = jnp.asarray(pool)
+        # (fused n_inner-step program, single-step program) per variant;
+        # the single-step one covers phase-boundary and tail remainders
         steps = {
-            ci: _make_pool_step(setup_variant(ci), bundle.near, bundle.far,
-                                n_rand, mesh, n_inner)
+            ci: (_make_pool_step(setup_variant(ci), bundle.near, bundle.far,
+                                 n_rand, mesh, n_inner),
+                 _make_pool_step(setup_variant(ci), bundle.near, bundle.far,
+                                 n_rand, mesh, 1))
             for ci in (True, False)
         }
         i_batch = 0
@@ -231,10 +235,16 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
         poses_j = jnp.asarray(np.asarray(data.poses)[:, :3, :4], jnp.float32)
         i_train_j = jnp.asarray(bundle.i_train)
         steps = {
-            (ci, pc): _make_sampled_step(
-                setup_variant(ci), K, bundle.near, bundle.far, n_rand,
-                pc, args.precrop_frac, mesh,
-                ndc=bundle.ndc, focal=float(data.hwf[2]), n_inner=n_inner,
+            (ci, pc): (
+                _make_sampled_step(
+                    setup_variant(ci), K, bundle.near, bundle.far, n_rand,
+                    pc, args.precrop_frac, mesh,
+                    ndc=bundle.ndc, focal=float(data.hwf[2]),
+                    n_inner=n_inner),
+                _make_sampled_step(
+                    setup_variant(ci), K, bundle.near, bundle.far, n_rand,
+                    pc, args.precrop_frac, mesh,
+                    ndc=bundle.ndc, focal=float(data.hwf[2]), n_inner=1),
             )
             for ci in (True, False) for pc in (True, False)
         }
@@ -242,9 +252,22 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
     n_iters = args.num_iterations
     profile_n = getattr(args, "profile", 0)
     profiling = False
+    # phase boundaries: dispatch windows never straddle them, so every
+    # step trains in exactly the phase the reference would use
+    boundaries = sorted({
+        b for b in (
+            args.constant_init if rcfg.mode == "linear" else 0,
+            0 if use_batching else args.precrop_iters,
+        ) if b > 0
+    })
     t0 = time.time()
-    for i in range(start + 1, n_iters + 1, n_inner):
-        i = i + n_inner - 1  # i = index of the LAST step in this dispatch
+    i0 = start + 1
+    while i0 <= n_iters:
+        nb = next((b for b in boundaries if b > i0), n_iters + 1)
+        window_end = min(i0 + n_inner - 1, nb - 1, n_iters)
+        n_this = window_end - i0 + 1
+        i = window_end
+
         if profile_n and not profiling and i >= start + 3:  # skip compiles
             jax.profiler.start_trace(os.path.join(exp_dir(args), "profile"))
             profiling = True
@@ -253,24 +276,39 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
             profiling = False
             print("Wrote profiler trace to",
                   os.path.join(exp_dir(args), "profile"))
-        key, ks = jax.random.split(key)
-        const_init = i < args.constant_init and rcfg.mode == "linear"
+
+        const_init = i0 < args.constant_init and rcfg.mode == "linear"
+
+        def run_window(step_pair, *data_args):
+            nonlocal key, state
+            fused, single = step_pair
+            if n_this == n_inner:
+                key, ks = jax.random.split(key)
+                return fused(state, *data_args, ks)
+            st, m = state, None
+            for _ in range(n_this):
+                key, ks = jax.random.split(key)
+                st, m = single(st, *data_args, ks)
+            return st, m
+
         if use_batching:
-            state, metrics = steps[const_init](state, pool_j, i_batch, ks)
-            i_batch += n_rand * n_inner
+            state, metrics = run_window(steps[const_init], pool_j, i_batch)
+            i_batch += n_rand * n_this
             if i_batch + n_rand * n_inner > pool_j.shape[0]:
                 key, kperm = jax.random.split(key)
                 pool_j = jax.random.permutation(kperm, pool_j, axis=0)
                 i_batch = 0
         else:
-            precrop = i < args.precrop_iters
-            state, metrics = steps[(const_init, precrop)](
-                state, images_j, poses_j, i_train_j, ks
-            )
+            precrop = i0 < args.precrop_iters
+            state, metrics = run_window(
+                steps[(const_init, precrop)], images_j, poses_j, i_train_j)
+        i0 = window_end + 1
 
-        # fire when a multiple of the cadence falls inside this dispatch
-        # window (i - n_inner, i]  (n_inner == 1 -> i % P == 0, as before)
-        if i % args.i_print < n_inner:
+        def fires(period):
+            """A multiple of ``period`` falls inside this window."""
+            return i // period > (i - n_this) // period
+
+        if fires(args.i_print):
             m = {k: float(v) for k, v in metrics.items()}
             m["steps_per_sec"] = args.i_print / max(time.time() - t0, 1e-9)
             t0 = time.time()
@@ -284,11 +322,12 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
                         f"[Numerical Fail] non-finite metrics at iter {i}: "
                         f"{bad} (reference DEBUG scan, run_plnerf.py:754)")
 
-        if i % args.i_weights < n_inner:
-            path = ckio.save_checkpoint(exp_dir(args), i, state)
+        if fires(args.i_weights):
+            path = ckio.save_checkpoint(exp_dir(args), int(state.step),
+                                        state)
             print("Saved checkpoint at", path)
 
-        if i % args.i_img < n_inner and len(bundle.i_val) > 0:
+        if fires(args.i_img) and len(bundle.i_val) > 0:
             vi = int(bundle.i_val[(i // args.i_img) % len(bundle.i_val)])
             out = EI.render_image(
                 state.params_coarse, state.params_fine, data.poses[vi],
@@ -303,17 +342,17 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
                            prefix="val/")
             logger.image(i, "val/rgb", np.clip(out["rgb_map"], 0, 1))
 
-        if i % args.i_testset < n_inner and i < n_iters:
+        if fires(args.i_testset) and i < n_iters:
             run_test(args, bundle, mcfg, rcfg, state=state, mesh=mesh,
                      suffix=f"_{i:06d}", setup=setup)
 
-        if i % args.i_video < n_inner and i < n_iters:
+        if fires(args.i_video) and i < n_iters:
             run_video(args, bundle, mcfg, rcfg, state=state, mesh=mesh,
                       step=i, setup=setup)
 
     if profiling:  # run ended inside the profiled window
         jax.profiler.stop_trace()
-    ckio.save_checkpoint(exp_dir(args), n_iters, state)
+    ckio.save_checkpoint(exp_dir(args), int(state.step), state)
     logger.close()
     print("Training complete.")
 
@@ -415,7 +454,7 @@ def run_video(args, bundle, mcfg, rcfg, state=None, mesh=None, step=None,
         [[data.hwf[2], 0, 0.5 * W], [0, data.hwf[2], 0.5 * H], [0, 0, 1]],
         np.float32,
     )
-    rgbs, disps = EI.render_path(
+    rgbs, _, _ = EI.render_path(
         state.params_coarse, state.params_fine, poses, data.hwf, K, mcfg,
         EI.test_render_config(rcfg), near=bundle.near, far=bundle.far,
         chunk=args.chunk, savedir=savedir, render_factor=args.render_factor,

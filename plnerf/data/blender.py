@@ -162,8 +162,13 @@ def _load_blender2_family(
                     depths.append(np.clip(d, near_plane, far_plane))
                     valids.append(valid)
             poses.append(np.array(frame["transform_matrix"], np.float32))
-            H, W = img.shape[:2]
-            focal = 0.5 * W / np.tan(0.5 * camera_angle_x)
+            if imgs:  # dims from the last actually-read image
+                H, W = imgs[-1].shape[:2]
+                focal = 0.5 * W / np.tan(0.5 * camera_angle_x)
+            if H == 0:
+                raise ValueError(
+                    f"{json_path}: first frame has an empty file_path; "
+                    "cannot infer image dimensions")
             intr.append(np.array((focal, focal, W / 2.0, H / 2.0), np.float32))
 
         counts.append(counts[-1] + len(poses))

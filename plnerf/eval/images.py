@@ -38,11 +38,9 @@ from . import metrics as M
 _IMAGE_KEYS = ("rgb_map", "disp_map", "acc_map", "depth_map", "rgb0", "depth0")
 
 
-@partial(jax.jit,
-         static_argnames=("mcfg", "rcfg", "chunk", "keep_hyp", "mcfg_fine"))
-def _render_flat(params_c, params_f, rays, key, mcfg: ModelConfig,
-                 rcfg: RenderConfig, chunk: int, keep_hyp: bool,
-                 cam_embedding=None, mcfg_fine=None):
+def _render_flat_local(params_c, params_f, rays, key,
+                       mcfg: ModelConfig, rcfg: RenderConfig, chunk: int,
+                       keep_hyp: bool, cam_embedding=None, mcfg_fine=None):
     """rays: [n_chunks*chunk, 8|11] (already padded).  lax.map over chunks —
     one compiled body reused for every chunk, no host round trips."""
     n_chunks = rays.shape[0] // chunk
@@ -63,6 +61,49 @@ def _render_flat(params_c, params_f, rays, key, mcfg: ModelConfig,
     return jax.tree.map(
         lambda x: x.reshape(n_chunks * chunk, *x.shape[2:]), out
     )
+
+
+@partial(jax.jit,
+         static_argnames=("mcfg", "rcfg", "chunk", "keep_hyp", "mcfg_fine"))
+def _render_flat(params_c, params_f, rays, key, mcfg: ModelConfig,
+                 rcfg: RenderConfig, chunk: int, keep_hyp: bool,
+                 cam_embedding=None, mcfg_fine=None):
+    return _render_flat_local(params_c, params_f, rays, key, mcfg, rcfg,
+                              chunk, keep_hyp, cam_embedding, mcfg_fine)
+
+
+_SHARDED_RENDER_CACHE: dict = {}
+
+
+def _sharded_render(mesh, mcfg, rcfg, chunk, keep_hyp, has_fine, has_cam,
+                    mcfg_fine):
+    """shard_map'd renderer: each chip runs the chunk loop on ITS slice of
+    the ray axis (a plain lax.map over a sharded axis would force an
+    all-gather and replicate the whole render on every chip — verified
+    empirically)."""
+    key_ = (mesh, mcfg, rcfg, chunk, keep_hyp, has_fine, has_cam, mcfg_fine)
+    if key_ in _SHARDED_RENDER_CACHE:
+        return _SHARDED_RENDER_CACHE[key_]
+
+    P = pmesh.P
+    repl = P()
+    shrd = P(pmesh.DATA_AXIS)
+
+    def local(params_c, params_f, rays, key, cam_embedding):
+        # decorrelate per-chunk rng across chips
+        key = jax.random.fold_in(key, jax.lax.axis_index(pmesh.DATA_AXIS))
+        return _render_flat_local(
+            params_c, params_f, rays, key, mcfg, rcfg, chunk, keep_hyp,
+            cam_embedding if has_cam else None, mcfg_fine)
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(repl, repl, shrd, repl, repl),
+        out_specs=shrd,
+        check_vma=False,
+    ))
+    _SHARDED_RENDER_CACHE[key_] = fn
+    return fn
 
 
 def render_image(
@@ -125,9 +166,15 @@ def render_image(
         params_c = pmesh.replicate(params_c, mesh)
         if params_f is not None:
             params_f = pmesh.replicate(params_f, mesh)
-
-    out = _render_flat(params_c, params_f, packed, key, mcfg, rcfg, chunk,
-                       keep_hyp, cam_embedding, mcfg_fine)
+        fn = _sharded_render(mesh, mcfg, rcfg, chunk, keep_hyp,
+                             params_f is not None,
+                             cam_embedding is not None, mcfg_fine)
+        out = fn(params_c, params_f, packed, key,
+                 cam_embedding if cam_embedding is not None
+                 else jnp.zeros((1,), jnp.float32))
+    else:
+        out = _render_flat(params_c, params_f, packed, key, mcfg, rcfg,
+                           chunk, keep_hyp, cam_embedding, mcfg_fine)
     out = jax.tree.map(lambda x: np.asarray(x[:n]), out)
     return {
         k: v.reshape(H, W, *v.shape[1:]) for k, v in out.items()
@@ -324,10 +371,11 @@ def render_path(
     ndc: bool = False, verbose: bool = True, pixel_center: bool = False,
     mcfg_fine: Optional[ModelConfig] = None,
 ):
-    """Render a camera path; returns (rgbs [N,H,W,3], disps [N,H,W]).
-    Writes per-frame pngs when ``savedir`` given (reference
-    run_plnerf.py:178-216)."""
-    rgbs, disps = [], []
+    """Render a camera path; returns (rgbs [N,H,W,3], disps [N,H,W],
+    depths [N,H,W]).  Writes per-frame pngs when ``savedir`` given
+    (reference run_plnerf.py:178-216; depth frames for the depth script's
+    render_video, run_nerf_sample_based_depth.py:283-300)."""
+    rgbs, disps, depths = [], [], []
     t = time.time()
     for i, c2w in enumerate(np.asarray(render_poses)):
         out = render_image(
@@ -338,6 +386,7 @@ def render_path(
         )
         rgbs.append(out["rgb_map"])
         disps.append(out["disp_map"])
+        depths.append(out["depth_map"])
         if verbose:
             print(f"frame {i}: {time.time() - t:.2f}s")
             t = time.time()
@@ -348,7 +397,7 @@ def render_path(
             imageio.imwrite(
                 os.path.join(savedir, f"{i:03d}.png"), to8b(rgbs[-1])
             )
-    return np.stack(rgbs, 0), np.stack(disps, 0)
+    return np.stack(rgbs, 0), np.stack(disps, 0), np.stack(depths, 0)
 
 
 def write_video(path: str, frames: np.ndarray, fps: int = 30,

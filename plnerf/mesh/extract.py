@@ -27,8 +27,7 @@ from ..parallel import mesh as pmesh
 from .marching_cubes import marching_cubes
 
 
-@partial(jax.jit, static_argnames=("mcfg", "chunk"))
-def _density_flat(params, pts, mcfg: ModelConfig, chunk: int):
+def _density_flat_local(params, pts, mcfg: ModelConfig, chunk: int):
     """pts: [n_chunks*chunk, 3] -> relu(sigma) [n_chunks*chunk].
     Zero viewdirs, matching reference extract_fields (:545)."""
     n_chunks = pts.shape[0] // chunk
@@ -40,6 +39,36 @@ def _density_flat(params, pts, mcfg: ModelConfig, chunk: int):
         return jax.nn.relu(raw[..., 0, 3])
 
     return jax.lax.map(body, pts_c).reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("mcfg", "chunk"))
+def _density_flat(params, pts, mcfg: ModelConfig, chunk: int):
+    return _density_flat_local(params, pts, mcfg, chunk)
+
+
+_SHARDED_DENSITY_CACHE: dict = {}
+
+
+def _sharded_density(mesh, mcfg: ModelConfig, chunk: int):
+    """shard_map'd grid eval: each chip evaluates ITS slab of the grid
+    (lax.map over a sharded axis would all-gather and replicate the whole
+    134M-point evaluation on every chip)."""
+    key = (mesh, mcfg, chunk)
+    if key in _SHARDED_DENSITY_CACHE:
+        return _SHARDED_DENSITY_CACHE[key]
+    P = pmesh.P
+
+    def local(params, pts):
+        return _density_flat_local(params, pts, mcfg, chunk)
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(pmesh.DATA_AXIS)),
+        out_specs=P(pmesh.DATA_AXIS),
+        check_vma=False,
+    ))
+    _SHARDED_DENSITY_CACHE[key] = fn
+    return fn
 
 
 def extract_density_grid(
@@ -67,8 +96,10 @@ def extract_density_grid(
     if mesh is not None:
         pts_j = jax.device_put(pts_j, pmesh.batch_sharded(mesh))
         params = pmesh.replicate(params, mesh)
-
-    sigma = np.asarray(_density_flat(params, pts_j, mcfg, chunk))[:n]
+        sigma = np.asarray(
+            _sharded_density(mesh, mcfg, chunk)(params, pts_j))[:n]
+    else:
+        sigma = np.asarray(_density_flat(params, pts_j, mcfg, chunk))[:n]
     return sigma.reshape(resolution, resolution, resolution)
 
 

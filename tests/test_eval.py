@@ -117,15 +117,16 @@ def test_test_images_samples(scene, params, tmp_path):
 def test_render_path_and_video(scene, params, tmp_path):
     pc, pf = params
     savedir = str(tmp_path / "frames")
-    rgbs, disps = EI.render_path(
+    rgbs, disps, depths = EI.render_path(
         pc, pf, scene.render_poses, scene.hwf, scene.K, MCFG, RCFG,
         near=2.0, far=6.0, chunk=128, savedir=savedir, verbose=False,
     )
     assert rgbs.shape == (2, H, W, 3)
     assert disps.shape == (2, H, W)
+    assert depths.shape == (2, H, W)
     assert os.path.exists(os.path.join(savedir, "000.png"))
     EI.write_video(str(tmp_path / "video.mp4"), rgbs, fps=2)
-    EI.write_depth_video_frames(str(tmp_path / "dv"), disps, far=6.0)
+    EI.write_depth_video_frames(str(tmp_path / "dv"), depths, far=6.0)
     assert os.path.exists(os.path.join(str(tmp_path / "dv"),
                                        "depth_000.png"))
 
