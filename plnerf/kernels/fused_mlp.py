@@ -27,7 +27,12 @@ fixes (bf16 dot outputs + bf16 stored activations, masked-sum gathers)
 the full training step runs 113.6 ms/step XLA vs 120.4 ms/step with this
 kernel pair at 8192 rays — XLA's fusions are already near-parity, so the
 kernel stays OPT-IN (``RenderConfig.use_pallas_mlp`` / ``--use_pallas``).
-fp32 tiles >= 2048 exceed the per-kernel VMEM budget; use tile <= 1024.
+Isolated (786k points, bf16): fwd 14.6 ms vs XLA 12.5; fused fwd+bwd
+28.0 ms (the backward kernel itself is cheaper than the forward).  Note
+the standalone XLA fwd+bwd at this size hits a jellyfish-regalloc
+RET_CHECK compiler bug that the Pallas pair avoids.
+fp32 tiles >= 2048 exceed the per-kernel VMEM budget; use tile <= 1024;
+the bf16 backward at tile 1024 also exceeds it.
 """
 from __future__ import annotations
 
