@@ -13,7 +13,7 @@ import json
 import os
 import shlex
 import sys
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 
 def str2bool(v) -> bool:

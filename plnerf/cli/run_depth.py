@@ -16,7 +16,6 @@ Differences from the NVS driver, all mirrored from the reference:
 """
 from __future__ import annotations
 
-import dataclasses
 import os
 import time
 from functools import partial

@@ -22,7 +22,6 @@ import dataclasses
 import os
 import time
 from functools import partial
-from typing import Optional
 
 import numpy as np
 

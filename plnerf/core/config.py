@@ -12,7 +12,7 @@ Behavioral surface mirrors the reference driver flags
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

@@ -17,7 +17,7 @@ passes and is never the bottleneck (the MLP is).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ from __future__ import annotations
 import os
 import time
 from functools import partial
-from typing import Any, Dict, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -17,7 +17,6 @@ Pipeline (lpips v0.1 semantics):
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Optional
 
 import numpy as np

@@ -12,9 +12,8 @@ the device mesh (each chip evaluates a slab of the grid).
 """
 from __future__ import annotations
 
-import struct
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -109,7 +109,7 @@ def marching_cubes_numpy(grid: np.ndarray, iso: float
     """Pure-python fallback: same algorithm, per-cube loop over only the
     active cubes (sign changes).  Slow for big grids; used when g++ is
     unavailable and in tests as the cross-check oracle."""
-    from ._mc_tables import EDGE_TABLE, TRI_TABLE
+    from ._mc_tables import TRI_TABLE
 
     corner_ofs = np.array(
         [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],

@@ -12,8 +12,6 @@ partition of the pixel grid.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Tuple
 
 import numpy as np
 
@@ -74,7 +72,7 @@ def optimize_camera_embedding(
     emb0 = jnp.zeros((mcfg.input_ch_cam,), jnp.float32)
     opt0 = tx.init(emb0)
 
-    @partial(jax.jit, static_argnames=())
+    @jax.jit
     def epoch(emb, opt_state, lr_scale, key):
         def loss_fn(e):
             def one(args):

@@ -15,8 +15,7 @@ Three flavors, all built by ``make_train_step``:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
