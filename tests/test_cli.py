@@ -277,3 +277,23 @@ def test_fixed_dist_sweep(scene_dir, tmp_path):
         d = os.path.join(exp, f"test_images_dist{dist}_{scene_id}")
         assert os.path.exists(os.path.join(d, "metrics.txt")), d
         assert os.path.exists(os.path.join(d, "0_rgb.png"))
+
+
+def test_steps_per_dispatch_exact_count(scene_dir, tmp_path):
+    """Fused dispatch with a non-dividing step count must execute exactly
+    num_iterations steps, with phase windows split at constant_init /
+    precrop boundaries."""
+    import flax.serialization as fser
+
+    data_dir, scene_id = scene_dir
+    ckpt_dir = str(tmp_path / "wck")
+    plnerf_main(TINY + [
+        "--task", "train", "--mode", "linear", "--constant_init", "10",
+        "--precrop_iters", "5", "--steps_per_dispatch", "7",
+        "--num_iterations", "23", "--i_weights", "23",
+        "--data_dir", data_dir, "--scene_id", scene_id,
+        "--ckpt_dir", ckpt_dir, "--expname", "w",
+    ])
+    with open(os.path.join(ckpt_dir, "w", "000023.ckpt"), "rb") as f:
+        sd = fser.msgpack_restore(f.read())
+    assert int(sd["step"]) == 23

@@ -54,3 +54,31 @@ def test_depth_train_and_test(scene_dir, tmp_path):
     assert "psnr" in metrics
     # depth RMSE tracked because the fixture has gt depths
     assert "depth_rmse" in metrics
+
+
+def test_depth_samples_error_and_video(scene_dir, tmp_path):
+    """Depth driver's remaining tasks: test_samples_error + video."""
+    data_dir, scene_id = scene_dir
+    ckpt_dir = str(tmp_path / "dck2")
+    depth_main(["train"] + TINY + [
+        "--data_dir", data_dir, "--scene_id", scene_id,
+        "--ckpt_dir", ckpt_dir, "--expname", "d2",
+        "--num_iterations", "4", "--i_weights", "4",
+        "--steps_per_dispatch", "2",
+    ])
+    exp = os.path.join(ckpt_dir, "d2")
+    depth_main(["test_samples_error"] + TINY + [
+        "--data_dir", data_dir, "--scene_id", scene_id,
+        "--ckpt_dir", ckpt_dir, "--expname", "d2",
+    ])
+    assert os.path.exists(os.path.join(
+        exp, "test_samples_error_8", "metrics_expecteddepth.txt"))
+
+    depth_main(["video"] + TINY + [
+        "--data_dir", data_dir, "--scene_id", scene_id,
+        "--ckpt_dir", ckpt_dir, "--expname", "d2",
+    ])
+    vid = os.path.join(exp, "video")
+    files = os.listdir(vid)
+    assert any(f.startswith("depth_") for f in files), files
+    assert any(f.startswith("depthcolor_") for f in files)
