@@ -32,6 +32,7 @@ from ..data import blender as dblender
 from ..eval import images as EI
 from ..eval.lpips import load_lpips
 from ..parallel import mesh as pmesh
+from ..train import batching
 from ..train.step import TrainSetup, init_state, make_depth_train_step
 from ..utils.logging import MetricsLogger
 from .config import ConfigArgumentParser, str2bool
@@ -180,9 +181,7 @@ def _make_depth_step(setup: TrainSetup, n_rand: int, near, far, mesh=None,
     def one(state, images, poses, intrinsics, hyp, sc_mask, img_i, key):
         H, W = images.shape[1], images.shape[2]
         kpix, ks = jax.random.split(key)
-        ky, kx = jax.random.split(kpix)
-        y = jax.random.randint(ky, (n_rand,), 0, H)
-        x = jax.random.randint(kx, (n_rand,), 0, W)
+        y, x = batching.select_pixels(kpix, H, W, n_rand, False, 0.5)
         coords = jnp.stack([y, x], -1)
         rays_o, rays_d = raysmod.get_rays_pixelcenter(
             H, W, intrinsics[img_i], poses[img_i][:3, :4], coords
@@ -382,12 +381,16 @@ def run(args):
         )
         EI.write_images_with_metrics(res, mm, result_dir)
     elif args.task == "test_samples_error":
+        # depth variant: valid-depth-masked metric, reference naming
+        # (run_nerf_sample_based_depth.py:400-420)
         result_dir = os.path.join(
-            exp_dir(args), f"test_samples_error_{args.N_importance}")
+            exp_dir(args),
+            f"test_predicted_samples_error_{args.N_importance}")
         EI.test_images_samples(
             state.params_coarse, state.params_fine, data, i_test, mcfg,
             test_rcfg, result_dir, chunk=args.chunk, mesh=mesh,
-            pixel_center=True,
+            pixel_center=True, valid_mask_from_dataset=True,
+            metrics_filename="metrics_depth_samples.txt",
         )
     elif args.task == "video":
         i_video = (np.asarray(data.i_split[3])

@@ -260,6 +260,7 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
         ) if b > 0
     })
     t0 = time.time()
+    steps_since_print = 0
     i0 = start + 1
     while i0 <= n_iters:
         nb = next((b for b in boundaries if b > i0), n_iters + 1)
@@ -278,20 +279,26 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
 
         const_init = i0 < args.constant_init and rcfg.mode == "linear"
 
-        def run_window(step_pair, *data_args):
+        def run_window(step_pair, *data_args, pool_offsets=None):
             nonlocal key, state
             fused, single = step_pair
             if n_this == n_inner:
                 key, ks = jax.random.split(key)
                 return fused(state, *data_args, ks)
             st, m = state, None
-            for _ in range(n_this):
+            for j in range(n_this):
                 key, ks = jax.random.split(key)
-                st, m = single(st, *data_args, ks)
+                if pool_offsets is not None:
+                    # pool mode: each remainder step consumes its own slice
+                    st, m = single(st, data_args[0], pool_offsets[j], ks)
+                else:
+                    st, m = single(st, *data_args, ks)
             return st, m
 
         if use_batching:
-            state, metrics = run_window(steps[const_init], pool_j, i_batch)
+            state, metrics = run_window(
+                steps[const_init], pool_j, i_batch,
+                pool_offsets=[i_batch + j * n_rand for j in range(n_this)])
             i_batch += n_rand * n_this
             if i_batch + n_rand * n_inner > pool_j.shape[0]:
                 key, kperm = jax.random.split(key)
@@ -302,6 +309,7 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
             state, metrics = run_window(
                 steps[(const_init, precrop)], images_j, poses_j, i_train_j)
         i0 = window_end + 1
+        steps_since_print += n_this
 
         def fires(period):
             """A multiple of ``period`` falls inside this window."""
@@ -309,8 +317,10 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
 
         if fires(args.i_print):
             m = {k: float(v) for k, v in metrics.items()}
-            m["steps_per_sec"] = args.i_print / max(time.time() - t0, 1e-9)
+            m["steps_per_sec"] = steps_since_print / max(
+                time.time() - t0, 1e-9)
             t0 = time.time()
+            steps_since_print = 0
             logger.scalars(i, m, prefix="train/")
             print(f"[TRAIN] Iter: {i} Loss: {m['loss']:.5f} "
                   f"PSNR: {m['psnr']:.2f} ({m['steps_per_sec']:.1f} it/s)")

@@ -101,8 +101,9 @@ def render_rays(
     ret: Dict[str, jnp.ndarray] = {}
     det = not rcfg.perturb
 
-    def resample(out, z, n, u):
-        """Importance-sample n new z values from a pass's weights."""
+    def resample(out, z, u):
+        """Importance-sample new z values (one per column of u) from a
+        pass's weights."""
         if m == "linear":
             samples, _, _, _ = sampling.sample_pdf_reformulation(
                 z, out["weights"], out["tau"], out["T"], near, far, u,
@@ -117,7 +118,7 @@ def render_rays(
         u = _maybe(overrides, "u")
         if u is None:
             u = sampling.draw_u(ku, R, rcfg.n_importance, det)
-        z_samples = resample(out_c, z_vals, rcfg.n_importance, u)
+        z_samples = resample(out_c, z_vals, u)
         z_samples = jax.lax.stop_gradient(z_samples)  # detach (run_plnerf.py:728)
         z_samples = jnp.clip(z_samples, near, far)
 
@@ -145,7 +146,7 @@ def render_rays(
                 uh = _maybe(overrides, "u_hyp")
             if uh is None:
                 uh = sampling.draw_u(kh, R, rcfg.n_importance, det, rcfg.is_joint)
-            pred_hyp = resample(out_f, z_fine, rcfg.n_importance, uh)
+            pred_hyp = resample(out_f, z_fine, uh)
             ret["pred_hyp"] = pred_hyp
             ret["u"] = uh
             w = out_f["weights"]
@@ -164,7 +165,7 @@ def render_rays(
                 uh = _maybe(overrides, "u_hyp")
             if uh is None:
                 uh = sampling.draw_u(kh, R, rcfg.n_samples, det, rcfg.is_joint)
-            pred_hyp = resample(out_c, z_vals, rcfg.n_samples, uh)
+            pred_hyp = resample(out_c, z_vals, uh)
             ret["pred_hyp"] = pred_hyp
             ret["u"] = uh
             w = out_c["weights"]

@@ -65,8 +65,14 @@ def _read_view(root_dir, scene_id, vid, downsample):
 def load_dtu(root_dir: str, scene_id: int, num_train: int = 42,
              scale_factor: float = 1.0 / 200.0, half_res: bool = True,
              train_split=None):
-    """Returns (imgs, intrinsics[3x3 per view], poses(c2w), render_poses,
-    hwf, i_split, near, far, [i_train, i_test])."""
+    """Returns (imgs, intrinsics[3x3 per view], poses, render_poses,
+    hwf, i_split, near, far, [i_train, i_test]).
+
+    Pose convention matches the reference VERBATIM: load_dtu.py:71-130
+    returns the transformed cam-file extrinsic itself (its read_poses
+    labels it ``w2c`` and also computes the inverse, but the driver is fed
+    the un-inverted matrix) — reproduced here so reference-format DTU data
+    renders identically; documented as a quirk rather than "fixed"."""
     i_train, i_test = _default_split(train_split, num_train)
     downsample = 0.5 if half_res else 1.0
 
@@ -86,7 +92,7 @@ def load_dtu(root_dir: str, scene_id: int, num_train: int = 42,
         extr[:3, 3] *= scale_factor
         intr[:2] *= downsample
         intrinsics.append(intr)
-        c2ws.append(np.linalg.inv(extr))
+        c2ws.append(extr)  # reference returns the un-inverted matrix
         near_fars.append(nf)
         H, W = img.shape[:2]
         focal = intr[0, 0]

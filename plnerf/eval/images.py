@@ -244,9 +244,15 @@ def render_images_with_metrics(
     for n, img_idx in enumerate(img_i):
         t0 = time.time()
         target = np.asarray(dataset.images[img_idx], np.float32)
+        # per-view vector intrinsics in the pixel-center (depth-script)
+        # convention (intrinsics[img_idx], run_nerf_sample_based_depth:458)
+        K_i = (dataset.intrinsics[img_idx]
+               if pixel_center
+               and getattr(dataset, "intrinsics", None) is not None
+               else dataset.K)
         out = render_image(
             params_c, params_f, dataset.poses[img_idx], dataset.hwf,
-            dataset.K, mcfg, rcfg, jax.random.PRNGKey(seed + n),
+            K_i, mcfg, rcfg, jax.random.PRNGKey(seed + n),
             near=near, far=far, chunk=chunk, ndc=ndc, mesh=mesh,
             pixel_center=pixel_center,
             cam_embedding=(None if cam_embeddings is None
@@ -307,6 +313,8 @@ def test_images_samples(
     rcfg: RenderConfig, result_dir: str, count: Optional[int] = None,
     chunk: int = 32768, mesh=None, seed: int = 0, verbose: bool = True,
     pixel_center: bool = False, mcfg_fine: Optional[ModelConfig] = None,
+    valid_mask_from_dataset: bool = False,
+    metrics_filename: str = "metrics_expecteddepth.txt",
 ):
     """Importance-sampling-error eval (reference run_plnerf.py:218-282):
     mean L2 distance between each predicted termination quantile
@@ -324,21 +332,35 @@ def test_images_samples(
 
     mean_depth_metrics = MeanTracker()
     for n, img_idx in enumerate(indices):
+        K_i = (dataset.intrinsics[img_idx]
+               if pixel_center
+               and getattr(dataset, "intrinsics", None) is not None
+               else dataset.K)
         out = render_image(
             params_c, params_f, dataset.poses[img_idx], dataset.hwf,
-            dataset.K, mcfg, rcfg, jax.random.PRNGKey(seed + n),
+            K_i, mcfg, rcfg, jax.random.PRNGKey(seed + n),
             near=dataset.near, far=dataset.far, chunk=chunk, mesh=mesh,
             keep_hyp=True, pixel_center=pixel_center, mcfg_fine=mcfg_fine,
         )
         dists = np.abs(out["pred_hyp"] - out["depth_map"][..., None])
-        err = float(np.mean(dists))
+        # depth script masks by valid depth before averaging
+        # (run_nerf_sample_based_depth.py:404-408); NVS script does not
+        # (run_plnerf.py:262-268)
+        if valid_mask_from_dataset and dataset.gt_valid_depths is not None:
+            valid = np.asarray(dataset.gt_valid_depths[img_idx]).astype(bool)
+            if valid.ndim == 3:
+                valid = valid[..., 0]
+            per_ray = np.mean(dists, axis=-1)
+            err = float(np.mean(per_ray[valid])) if valid.any() else np.nan
+        else:
+            err = float(np.mean(dists))
         if not np.isnan(err):
             mean_depth_metrics.add({"importance_sampling_error": err})
         if verbose:
             print(f"Sample-error image {n + 1}/{len(indices)}: {err:.4f}")
 
     os.makedirs(result_dir, exist_ok=True)
-    with open(os.path.join(result_dir, "metrics_expecteddepth.txt"), "w") as f:
+    with open(os.path.join(result_dir, metrics_filename), "w") as f:
         mean_depth_metrics.print(f)
     return mean_depth_metrics
 

@@ -157,9 +157,9 @@ def make_dtu_scene(root_dir, scene_id=5):
         img = render_sphere_image(c2w, H, W, _focal(), white_bkgd=True)
         _write_png(os.path.join(img_dir, f"rect_{i + 1:03d}_3_r5000.png"),
                    img)
-        # loader: extr = file @ CV2B; extr[:3,3] *= sf; c2w = inv(extr)
-        w2c = np.linalg.inv(c2w)
-        target = w2c.copy()
+        # loader: pose = (file @ CV2B) with translation scaled by sf
+        # (reference returns the un-inverted matrix as the pose)
+        target = c2w.copy()
         target[:3, 3] /= sf
         file_extr = target @ inv_cv2b
         # loader: K_file * 4 * downsample must equal our pinhole K

@@ -72,7 +72,7 @@ def test_depth_samples_error_and_video(scene_dir, tmp_path):
         "--ckpt_dir", ckpt_dir, "--expname", "d2",
     ])
     assert os.path.exists(os.path.join(
-        exp, "test_samples_error_8", "metrics_expecteddepth.txt"))
+        exp, "test_predicted_samples_error_8", "metrics_depth_samples.txt"))
 
     depth_main(["video"] + TINY + [
         "--data_dir", data_dir, "--scene_id", scene_id,
