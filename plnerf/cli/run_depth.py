@@ -121,6 +121,15 @@ def build_configs(args):
         pi_bands=True, input_ch_cam=args.input_ch_cam,
         density_activation="softplus10", init="xavier",
     )
+    # distinct fine-network dims (reference builds model_fine from
+    # args.netdepth_fine/netwidth_fine, run_nerf_sample_based_depth.py:581)
+    mcfg_fine = None
+    if (args.netdepth_fine != args.netdepth
+            or args.netwidth_fine != args.netwidth):
+        import dataclasses as _dc
+
+        mcfg_fine = _dc.replace(mcfg, netdepth=args.netdepth_fine,
+                                netwidth=args.netwidth_fine)
     rcfg = RenderConfig(
         n_samples=args.N_samples, n_importance=args.N_importance,
         mode=args.mode, color_mode=args.color_mode, lindisp=args.lindisp,
@@ -132,7 +141,7 @@ def build_configs(args):
         mlp_dtype=args.mlp_dtype, use_pallas_mlp=args.use_pallas,
     )
     setup = TrainSetup(
-        mcfg=mcfg, rcfg=rcfg, lrate=args.lrate,
+        mcfg=mcfg, mcfg_fine=mcfg_fine, rcfg=rcfg, lrate=args.lrate,
         joint_optimizer=True, grad_clip_value=0.1,
         space_carving_weight=args.space_carving_weight,
         warm_start_nerf=args.warm_start_nerf, is_joint=args.is_joint,
@@ -271,6 +280,7 @@ def run_training(args, data, setup, mcfg, rcfg):
     key = jax.random.PRNGKey(args.random_seed)
     rng = np.random.default_rng(args.random_seed)
     t0 = time.time()
+    steps_since_print = 0
     i0 = start + 1
     while i0 <= args.num_iterations:
         window_end = min(i0 + n_inner - 1, args.num_iterations)
@@ -289,14 +299,19 @@ def run_training(args, data, setup, mcfg, rcfg):
                     state, images_j, poses_j, intr_j, hyp, sc_mask,
                     img_i, ks)
         i0 = window_end + 1
+        steps_since_print += n_this
 
         def fires(period):
             return i // period > (i - n_this) // period
 
         if fires(args.i_print):
             m = {k: float(v) for k, v in metrics.items()}
-            m["steps_per_sec"] = args.i_print / max(time.time() - t0, 1e-9)
+            # count steps actually executed since the last print (mirrors
+            # run_plnerf.run_training; ADVICE.md round 1)
+            m["steps_per_sec"] = steps_since_print / max(
+                time.time() - t0, 1e-9)
             t0 = time.time()
+            steps_since_print = 0
             m["depth_scale_mean"] = float(jnp.mean(state.depth_scales))
             m["depth_shift_mean"] = float(jnp.mean(state.depth_shifts))
             logger.scalars(i, m, prefix="train/")
@@ -311,6 +326,7 @@ def run_training(args, data, setup, mcfg, rcfg):
                 data.hwf, data.intrinsics[vi], mcfg,
                 EI.test_render_config(rcfg), near=data.near, far=data.far,
                 chunk=args.chunk, mesh=mesh, pixel_center=True,
+                mcfg_fine=setup.mcfg_fine,
             )
             val_mse = float(np.mean(
                 (out["rgb_map"] - np.asarray(data.images[vi])) ** 2))
@@ -373,6 +389,7 @@ def run(args):
             state.params_coarse, state.params_fine, data, i_test, mcfg,
             test_rcfg, chunk=args.chunk, mesh=mesh, lpips_fn=lp,
             pixel_center=True, cam_embeddings=cam_embeddings,
+            mcfg_fine=setup.mcfg_fine,
         )
         result_dir = os.path.join(
             exp_dir(args),
@@ -391,6 +408,7 @@ def run(args):
             test_rcfg, result_dir, chunk=args.chunk, mesh=mesh,
             pixel_center=True, valid_mask_from_dataset=True,
             metrics_filename="metrics_depth_samples.txt",
+            mcfg_fine=setup.mcfg_fine,
         )
     elif args.task == "video":
         i_video = (np.asarray(data.i_split[3])
@@ -401,6 +419,7 @@ def run(args):
             np.asarray(data.poses)[i_video], data.hwf, data.K, mcfg,
             test_rcfg, near=data.near, far=data.far, chunk=args.chunk,
             savedir=savedir, mesh=mesh, pixel_center=True,
+            mcfg_fine=setup.mcfg_fine,
         )
         EI.write_video(os.path.join(savedir, "video.mp4"), rgbs, fps=10)
         # 16-bit + TURBO depth frames from the renderer's expected depth

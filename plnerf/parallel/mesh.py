@@ -57,24 +57,36 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(jax.numpy.asarray(x), repl), tree)
 
 
-def make_parallel_train_step(step_fn, mesh: Mesh):
+def make_parallel_train_step(step_fn, mesh: Mesh, spec_overrides=None):
     """Wrap a jitted train step for DP execution: state replicated, batch
     sharded along rays, RNG key replicated.  The per-example photometric
     loss is a mean over the full (global) ray batch, so under SPMD the
     gradient all-reduce (psum over ICI) is inserted by XLA automatically.
+
+    ``spec_overrides``: optional {batch_key: PartitionSpec} for batch
+    entries whose leading axis is NOT the ray axis (e.g. the depth step's
+    hypothesis-leading ``target_h [H, R, 1]`` wants ``P(None, 'dp')``).
     """
     repl = replicated(mesh)
     shrd = batch_sharded(mesh)
+    overrides = {
+        k: NamedSharding(mesh, spec) for k, spec in (spec_overrides or {}).items()
+    }
 
     def sharding_of_batch(batch):
-        return jax.tree.map(
-            lambda x: repl if getattr(x, "ndim", 0) == 0 else shrd, batch
-        )
+        return {
+            k: overrides.get(
+                k, repl if getattr(x, "ndim", 0) == 0 else shrd
+            )
+            for k, x in batch.items()
+        }
 
     def run(state, batch, key):
-        batch = jax.tree.map(
-            lambda x, s: jax.device_put(x, s), batch, sharding_of_batch(batch)
-        )
+        shardings = sharding_of_batch(batch)
+        batch = {
+            k: jax.device_put(x, shardings[k]) if x is not None else None
+            for k, x in batch.items()
+        }
         state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
         return step_fn(state, batch, key)
 

@@ -102,7 +102,16 @@ def sample_one_image_batch(
 def build_ray_pool(images: np.ndarray, poses: np.ndarray, K, i_train,
                    seed: int = 0) -> np.ndarray:
     """Host-side pre-shuffled pool [M, 9]: (o, d, rgb) per ray for all
-    training images (reference run_plnerf.py:1199-1221)."""
+    training images (reference run_plnerf.py:1199-1221).
+
+    Stated deviation: the reference consumes EVERY pool ray each epoch,
+    ending with one short batch before reshuffling (run_plnerf.py:1244-1248);
+    the TPU driver reshuffles once fewer than ``n_rand * steps_per_dispatch``
+    rays remain, dropping up to that many tail rays per epoch.  A short
+    final batch would change the ray-batch shape and force a second jit
+    cache per phase; with the 160k-ray chair pool and n_rand=1024 the tail
+    is < 2.6% of an epoch of i.i.d.-shuffled rays — statistically neutral.
+    """
     rows = []
     for i in np.asarray(i_train):
         ro, rd = raysmod.get_rays_np(
