@@ -305,6 +305,16 @@ def render_images_with_metrics(
 
     all_mean = MeanTracker()
     all_mean.add({**mean_metrics.as_dict(), **mean_depth_metrics.as_dict()})
+    if lpips_fn is None:
+        # loud, not silent: the reference reports LPIPS for every eval
+        # (run_plnerf.py:340); without weights the metric row must still
+        # appear in metrics.txt so consumers notice it is missing.
+        all_mean.note(
+            "lpips",
+            "UNAVAILABLE (no weights file — export one with "
+            "tools/export_lpips_weights.py and set --lpips_weights or "
+            "PLNERF_LPIPS_WEIGHTS)",
+        )
     return all_mean, res
 
 

@@ -168,8 +168,24 @@ class LPIPS:
         return cls(params)
 
     @classmethod
+    def from_npz(cls, path: str) -> "LPIPS":
+        """Load the torch-free ``.npz`` produced by
+        ``tools/export_lpips_weights.py`` (keys exactly ``conv{i}_w`` HWIO,
+        ``conv{i}_b``, ``lin{i}_w`` [C, 1])."""
+        with np.load(path) as z:
+            params = {k: jnp.asarray(z[k], jnp.float32) for k in z.files}
+        for i in range(5):
+            for k in (f"conv{i}_w", f"conv{i}_b", f"lin{i}_w"):
+                if k not in params:
+                    raise KeyError(f"{path}: missing LPIPS tensor {k}")
+        return cls(params)
+
+    @classmethod
     def from_file(cls, path: str) -> "LPIPS":
-        """Load a merged torch checkpoint (torch required on host only)."""
+        """Load exported ``.npz`` (preferred, torch-free) or a merged torch
+        checkpoint (torch required on host only)."""
+        if path.endswith(".npz"):
+            return cls.from_npz(path)
         import torch
 
         sd = torch.load(path, map_location="cpu")
@@ -178,8 +194,25 @@ class LPIPS:
         return cls.from_torch_state_dict(sd)
 
 
+def default_weights_path() -> Optional[str]:
+    """Documented weights locations, first hit wins:
+    ``$PLNERF_LPIPS_WEIGHTS`` then ``<repo>/weights/lpips_alex.npz``."""
+    import os
+
+    env = os.environ.get("PLNERF_LPIPS_WEIGHTS")
+    if env and os.path.isfile(env):
+        return env
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    cand = os.path.join(repo, "weights", "lpips_alex.npz")
+    return cand if os.path.isfile(cand) else None
+
+
 def load_lpips(weights_path: Optional[str]) -> Optional[LPIPS]:
-    """CLI helper: returns a metric callable or None (metric skipped)."""
-    if not weights_path:
+    """CLI helper: returns a metric callable or None (metric skipped,
+    which the eval harness reports loudly in metrics.txt).  With no
+    explicit path, falls back to ``default_weights_path()``."""
+    path = weights_path or default_weights_path()
+    if not path:
         return None
-    return LPIPS.from_file(weights_path)
+    return LPIPS.from_file(path)

@@ -136,36 +136,41 @@ def filter_connected_components(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Keep only face components with >= min_len faces, where faces are
     connected through shared edges (trimesh face_adjacency semantics —
-    reference nerf_extract_mesh.py:1094-1100).  Vertices are re-indexed."""
+    reference nerf_extract_mesh.py:1094-1100).  Vertices are re-indexed.
+
+    Fully vectorized (numpy grouping + scipy.sparse.csgraph): a real 512^3
+    extraction yields millions of faces, where the round-1 per-face Python
+    union-find took minutes on the single host vCPU."""
     if faces.shape[0] == 0:
         return verts, faces
-    # union-find over faces via shared edges
-    parent = np.arange(faces.shape[0])
+    n_faces = faces.shape[0]
+    # all face edges as sorted vertex pairs -> unique edge ids
+    e = np.concatenate(
+        [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]], axis=0
+    )
+    e = np.sort(e, axis=1)
+    face_of = np.tile(np.arange(n_faces), 3)
+    # scalar-encode the pair: 1-D unique is ~5x faster than axis=0 unique
+    ekey = e[:, 0].astype(np.int64) * (verts.shape[0] + 1) + e[:, 1]
+    _, edge_id = np.unique(ekey, return_inverse=True)
+    # faces sharing an edge id become adjacent: after sorting incidences by
+    # edge id, consecutive rows with equal ids are chained (a chain per
+    # group is enough for connectivity, incl. non-manifold k>2 edges)
+    order = np.argsort(edge_id, kind="stable")
+    eid_s, face_s = edge_id[order], face_of[order]
+    same = eid_s[1:] == eid_s[:-1]
+    rows, cols = face_s[:-1][same], face_s[1:][same]
 
-    def find(i):
-        root = i
-        while parent[root] != root:
-            root = parent[root]
-        while parent[i] != root:
-            parent[i], i = root, parent[i]
-        return root
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
 
-    edge_to_face: dict = {}
-    for fi, tri in enumerate(faces):
-        for a, b in ((0, 1), (1, 2), (2, 0)):
-            key = (min(tri[a], tri[b]), max(tri[a], tri[b]))
-            other = edge_to_face.get(key)
-            if other is None:
-                edge_to_face[key] = fi
-            else:
-                ra, rb = find(fi), find(other)
-                if ra != rb:
-                    parent[ra] = rb
-
-    roots = np.array([find(i) for i in range(faces.shape[0])])
-    _, inv, counts = np.unique(roots, return_inverse=True,
-                               return_counts=True)
-    keep = counts[inv] >= min_len
+    adj = coo_matrix(
+        (np.ones(rows.shape[0], np.int8), (rows, cols)),
+        shape=(n_faces, n_faces),
+    )
+    _, labels = connected_components(adj, directed=False)
+    counts = np.bincount(labels)
+    keep = counts[labels] >= min_len
     faces = faces[keep]
     used = np.unique(faces)
     remap = np.full(verts.shape[0], -1, np.int64)

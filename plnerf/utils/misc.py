@@ -51,8 +51,18 @@ class MeanTracker:
 
     def reset(self):
         self.mean_dict = {}
+        self.notes = {}
         self.total_weight = 0.0
+
+    def note(self, key: str, text: str):
+        """Non-numeric annotation printed alongside the means (e.g.
+        ``lpips: UNAVAILABLE (...)`` when no weights file exists — an eval
+        consumer diffing metrics.txt against the reference must see the
+        metric named, not silently missing)."""
+        self.notes[key] = text
 
     def print(self, f=None):
         for key, value in self.mean_dict.items():
             print(f"{key}: {value}", file=f)
+        for key, text in self.notes.items():
+            print(f"{key}: {text}", file=f)
