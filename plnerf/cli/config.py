@@ -176,6 +176,24 @@ def add_base_flags(parser: ConfigArgumentParser) -> None:
            "the ray-batch memory ceiling")
     a("--no_mesh", action="store_true",
       help="disable the device mesh (single-chip even if more visible)")
+    a("--occ_grid", action="store_true",
+      help="occupancy-grid guided coarse sampling (core/occgrid.py): "
+           "fewer coarse samples at equal quality; pair with a reduced "
+           "--N_samples (e.g. 32) for the speedup")
+    a("--occ_res", type=int, default=128, help="occupancy grid resolution")
+    a("--occ_candidates", type=int, default=96,
+      help="uniform candidate bins tested against the grid per ray")
+    a("--occ_warmup", type=int, default=256,
+      help="steps of plain uniform sampling before the grid engages "
+           "(also re-applied after resume; the grid is not checkpointed)")
+    a("--occ_bound", type=float, default=1.5,
+      help="scene half-extent: grid covers [-b, b]^3")
+    a("--occ_decay", type=float, default=0.97,
+      help="per-step EMA decay of the grid densities")
+    a("--occ_threshold", type=float, default=1e-2,
+      help="density above which a cell counts as occupied")
+    a("--occ_floor", type=float, default=0.01,
+      help="PDF floor for unoccupied candidate bins")
     a("--seed", type=int, default=0)
     a("--profile", type=int, default=0,
       help="capture a jax profiler trace of N training steps into "

@@ -111,6 +111,24 @@ def _shard(x, mesh):
     return jax.lax.with_sharding_constraint(x, pmesh.batch_sharded(mesh))
 
 
+def _wrap_occ(setup: TrainSetup, one_step):
+    """Uniform (carry, batch, key) -> (carry, metrics) interface: when the
+    occupancy grid is active (setup.rcfg.occ), carry is (state, grid) and
+    each step renders with grid-guided coarse samples then folds its own
+    density evaluations back into the grid EMA."""
+    if setup.rcfg.occ is None:
+        return one_step
+    from ..train.step import _apply_occ_update
+
+    def one(carry, batch, key):
+        st, grid = carry
+        st, metrics = one_step(st, dict(batch, occ_grid=grid), key)
+        grid, metrics = _apply_occ_update(setup, grid, batch, metrics)
+        return (st, grid), metrics
+
+    return one
+
+
 def _make_sampled_step(setup: TrainSetup, K, near, far, n_rand,
                        precrop: bool, precrop_frac: float, mesh=None,
                        ndc: bool = False, focal: float = 0.0,
@@ -118,7 +136,7 @@ def _make_sampled_step(setup: TrainSetup, K, near, far, n_rand,
     """Fuse on-device batch sampling with the train step: one program.
     With ``n_inner > 1`` a lax.scan runs that many sample+step iterations
     per host dispatch (amortizes dispatch latency)."""
-    one_step = build_one_step(setup)
+    one_step = _wrap_occ(setup, build_one_step(setup))
 
     def sample_and_step(state, images, poses, i_train, key):
         kb, ks = jax.random.split(key)
@@ -148,7 +166,7 @@ def _make_sampled_step(setup: TrainSetup, K, near, far, n_rand,
 
 def _make_pool_step(setup: TrainSetup, near, far, n_rand, mesh=None,
                     n_inner: int = 1):
-    one_step = build_one_step(setup)
+    one_step = _wrap_occ(setup, build_one_step(setup))
 
     def slice_and_step(state, pool, i_batch, key):
         rays, target = batching.pool_batch(
@@ -194,11 +212,34 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
     n_inner = max(1, getattr(args, "steps_per_dispatch", 1))
     key = jax.random.PRNGKey(args.seed)
 
-    # step variants: (constant_init x precrop) jit-cached via TrainSetup
-    def setup_variant(const_init: bool):
-        return dataclasses.replace(
-            setup, rcfg=dataclasses.replace(rcfg, constant_init=const_init)
+    # occupancy grid (flag-gated TPU perf path; no reference equivalent).
+    # The grid is not checkpointed: after resume the warmup re-applies and
+    # the EMA re-warms from the run's own density evaluations.
+    occ_cfg = None
+    occ_state = None
+    if getattr(args, "occ_grid", False):
+        from ..core import occgrid as og
+
+        occ_cfg = og.OccGridConfig(
+            resolution=args.occ_res, candidates=args.occ_candidates,
+            decay=args.occ_decay, threshold=args.occ_threshold,
+            floor=args.occ_floor, warmup=args.occ_warmup,
         )
+        b = float(args.occ_bound)
+        occ_state = og.init_grid([-b, -b, -b], [b, b, b], occ_cfg)
+        if mesh is not None:
+            occ_state = pmesh.replicate(occ_state, mesh)
+
+    # step variants: (constant_init x precrop x occ) jit-cached via
+    # TrainSetup
+    def setup_variant(const_init: bool, occ_on: bool = False):
+        return dataclasses.replace(
+            setup, rcfg=dataclasses.replace(
+                rcfg, constant_init=const_init,
+                occ=occ_cfg if occ_on else None)
+        )
+
+    occ_variants = (False, True) if occ_cfg is not None else (False,)
 
     if use_batching:
         pool = batching.build_ray_pool(
@@ -222,11 +263,12 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
         # (fused n_inner-step program, single-step program) per variant;
         # the single-step one covers phase-boundary and tail remainders
         steps = {
-            ci: (_make_pool_step(setup_variant(ci), bundle.near, bundle.far,
-                                 n_rand, mesh, n_inner),
-                 _make_pool_step(setup_variant(ci), bundle.near, bundle.far,
-                                 n_rand, mesh, 1))
-            for ci in (True, False)
+            (ci, oc): (
+                _make_pool_step(setup_variant(ci, oc), bundle.near,
+                                bundle.far, n_rand, mesh, n_inner),
+                _make_pool_step(setup_variant(ci, oc), bundle.near,
+                                bundle.far, n_rand, mesh, 1))
+            for ci in (True, False) for oc in occ_variants
         }
         i_batch = 0
     else:
@@ -234,18 +276,19 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
         poses_j = jnp.asarray(np.asarray(data.poses)[:, :3, :4], jnp.float32)
         i_train_j = jnp.asarray(bundle.i_train)
         steps = {
-            (ci, pc): (
+            (ci, pc, oc): (
                 _make_sampled_step(
-                    setup_variant(ci), K, bundle.near, bundle.far, n_rand,
-                    pc, args.precrop_frac, mesh,
+                    setup_variant(ci, oc), K, bundle.near, bundle.far,
+                    n_rand, pc, args.precrop_frac, mesh,
                     ndc=bundle.ndc, focal=float(data.hwf[2]),
                     n_inner=n_inner),
                 _make_sampled_step(
-                    setup_variant(ci), K, bundle.near, bundle.far, n_rand,
-                    pc, args.precrop_frac, mesh,
+                    setup_variant(ci, oc), K, bundle.near, bundle.far,
+                    n_rand, pc, args.precrop_frac, mesh,
                     ndc=bundle.ndc, focal=float(data.hwf[2]), n_inner=1),
             )
             for ci in (True, False) for pc in (True, False)
+            for oc in occ_variants
         }
 
     n_iters = args.num_iterations
@@ -257,6 +300,7 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
         b for b in (
             args.constant_init if rcfg.mode == "linear" else 0,
             0 if use_batching else args.precrop_iters,
+            (start + args.occ_warmup + 1) if occ_cfg is not None else 0,
         ) if b > 0
     })
     t0 = time.time()
@@ -278,26 +322,36 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
                   os.path.join(exp_dir(args), "profile"))
 
         const_init = i0 < args.constant_init and rcfg.mode == "linear"
+        occ_on = occ_cfg is not None and i0 > start + args.occ_warmup
 
         def run_window(step_pair, *data_args, pool_offsets=None):
-            nonlocal key, state
+            """Run this window's steps; updates state (and the occ grid
+            carry when active), returns the last step's metrics."""
+            nonlocal key, state, occ_state
             fused, single = step_pair
+            carry = (state, occ_state) if occ_on else state
             if n_this == n_inner:
                 key, ks = jax.random.split(key)
-                return fused(state, *data_args, ks)
-            st, m = state, None
-            for j in range(n_this):
-                key, ks = jax.random.split(key)
-                if pool_offsets is not None:
-                    # pool mode: each remainder step consumes its own slice
-                    st, m = single(st, data_args[0], pool_offsets[j], ks)
-                else:
-                    st, m = single(st, *data_args, ks)
-            return st, m
+                carry, m = fused(carry, *data_args, ks)
+            else:
+                m = None
+                for j in range(n_this):
+                    key, ks = jax.random.split(key)
+                    if pool_offsets is not None:
+                        # pool mode: each remainder step consumes its slice
+                        carry, m = single(carry, data_args[0],
+                                          pool_offsets[j], ks)
+                    else:
+                        carry, m = single(carry, *data_args, ks)
+            if occ_on:
+                state, occ_state = carry
+            else:
+                state = carry
+            return m
 
         if use_batching:
-            state, metrics = run_window(
-                steps[const_init], pool_j, i_batch,
+            metrics = run_window(
+                steps[(const_init, occ_on)], pool_j, i_batch,
                 pool_offsets=[i_batch + j * n_rand for j in range(n_this)])
             i_batch += n_rand * n_this
             if i_batch + n_rand * n_inner > pool_j.shape[0]:
@@ -306,8 +360,9 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
                 i_batch = 0
         else:
             precrop = i0 < args.precrop_iters
-            state, metrics = run_window(
-                steps[(const_init, precrop)], images_j, poses_j, i_train_j)
+            metrics = run_window(
+                steps[(const_init, precrop, occ_on)],
+                images_j, poses_j, i_train_j)
         i0 = window_end + 1
         steps_since_print += n_this
 

@@ -12,7 +12,10 @@ Behavioral surface mirrors the reference driver flags
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple, TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .occgrid import OccGridConfig
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,6 +91,11 @@ class RenderConfig:
     mlp_dtype: str = "float32"
     # Use the fused Pallas MLP kernel when available.
     use_pallas_mlp: bool = False
+    # Occupancy-grid guided coarse sampling (core/occgrid.py).  None =
+    # exact reference uniform sampling (the default; parity tests rely on
+    # it).  Set to an OccGridConfig to place coarse samples by the grid —
+    # the grid state itself is passed to render_rays as traced data.
+    occ: Optional["OccGridConfig"] = None
     # Rematerialize the MLP in backward (jax.checkpoint): the fwd pass
     # keeps only the MLP inputs live between coarse/fine passes.  NOTE
     # (measured 2026-08-16): it does NOT lift the single-pass HBM peak —

@@ -23,7 +23,7 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from . import mlp, quadrature, sampling
+from . import mlp, occgrid, quadrature, sampling
 from .config import ModelConfig, RenderConfig
 
 
@@ -44,6 +44,7 @@ def render_rays(
     cam_embedding: Optional[jnp.ndarray] = None,
     overrides: Optional[Dict[str, Any]] = None,
     mcfg_fine: Optional[ModelConfig] = None,
+    occ_grid=None,
 ) -> Dict[str, jnp.ndarray]:
     """Render a batch of rays.
 
@@ -64,9 +65,17 @@ def render_rays(
     t_rand = _maybe(overrides, "t_rand")
     if t_rand is None and rcfg.perturb:
         t_rand = jax.random.uniform(kp, (R, rcfg.n_samples))
-    z_vals = sampling.stratified_z_vals(
-        near, far, rcfg.n_samples, rcfg.lindisp, t_rand
-    )
+    if rcfg.occ is not None and occ_grid is not None:
+        # occupancy-guided placement (core/occgrid.py); no reference
+        # equivalent — flag-gated TPU perf path, uniform stays default
+        z_vals = occgrid.occ_guided_z_vals(
+            occ_grid, rays_o, rays_d, near, far, rcfg.n_samples, t_rand,
+            rcfg.occ,
+        )
+    else:
+        z_vals = sampling.stratified_z_vals(
+            near, far, rcfg.n_samples, rcfg.lindisp, t_rand
+        )
 
     def run(params, z, noise_key, cfg=mcfg):
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
@@ -137,6 +146,13 @@ def render_rays(
         if rcfg.retraw:
             ret["raw"] = out_f["raw"]
 
+        if rcfg.occ is not None:
+            # density observations for the occupancy-grid EMA update (the
+            # occ train step consumes + pops these; free — no extra evals)
+            ret["occ_z"] = jnp.concatenate([z_vals, z_fine], axis=-1)
+            ret["occ_sigma"] = jax.nn.relu(jnp.concatenate(
+                [out_c["raw"][..., 3], out_f["raw"][..., 3]], axis=-1))
+
         if rcfg.compute_pred_hyp:
             # Depth-supervision quantiles from the FINE weights; NOT detached
             # — gradients flow through the analytic inverse-CDF into tau/T
@@ -159,6 +175,9 @@ def render_rays(
             ret[k_] = out_c[k_]
         if rcfg.retraw:
             ret["raw"] = out_c["raw"]
+        if rcfg.occ is not None:
+            ret["occ_z"] = z_vals
+            ret["occ_sigma"] = jax.nn.relu(out_c["raw"][..., 3])
         if rcfg.compute_pred_hyp:
             uh = cached_u
             if uh is None:

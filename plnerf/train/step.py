@@ -115,10 +115,16 @@ def _render_loss(params_c, params_f, batch, key, setup: TrainSetup,
     ret = render.render_rays(
         params_c, params_f, batch["rays"], key, setup.mcfg, setup.rcfg,
         cached_u=batch.get("cached_u"), mcfg_fine=setup.mcfg_fine,
+        occ_grid=batch.get("occ_grid"),
     )
     img_loss = img2mse(ret["rgb_map"], batch["target"])
     loss = img_loss
     metrics = {"img_loss": img_loss, "psnr": mse2psnr(img_loss)}
+    if "occ_z" in ret:
+        # density observations for the occupancy-grid update; popped (and
+        # stop-gradiented) by make_occ_train_step before metrics reach host
+        metrics["_occ_z"] = jax.lax.stop_gradient(ret["occ_z"])
+        metrics["_occ_sigma"] = jax.lax.stop_gradient(ret["occ_sigma"])
 
     if setup.space_carving_weight > 0.0:
         target_h = batch["target_h"]
@@ -263,6 +269,35 @@ def make_depth_train_step(setup: TrainSetup):
         return state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def _apply_occ_update(setup: TrainSetup, occ_grid, batch, metrics):
+    """Pop the forward pass's density observations out of the metrics and
+    fold them into the grid EMA (core/occgrid.py)."""
+    from ..core import occgrid as og
+
+    z = metrics.pop("_occ_z")
+    sigma = metrics.pop("_occ_sigma")
+    rays = batch["rays"]
+    pts = rays[:, None, 0:3] + rays[:, None, 3:6] * z[..., None]
+    return og.update_grid(occ_grid, pts, sigma, setup.rcfg.occ), metrics
+
+
+def make_occ_train_step(setup: TrainSetup):
+    """Occupancy-grid train step: (state, occ_grid, batch, key) ->
+    (state, occ_grid, metrics).  Same optimization as make_train_step,
+    plus (a) coarse samples placed by the grid and (b) the grid updated
+    from the step's own density evaluations.  Requires setup.rcfg.occ.
+    No reference equivalent (flag-gated TPU perf path)."""
+    assert setup.rcfg.occ is not None
+    one_step = build_one_step(setup)
+
+    def step_fn(state: TrainState, occ_grid, batch, key):
+        state, metrics = one_step(state, dict(batch, occ_grid=occ_grid), key)
+        occ_grid, metrics = _apply_occ_update(setup, occ_grid, batch, metrics)
+        return state, occ_grid, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0, 1))
 
 
 def make_multi_train_step(setup: TrainSetup, n_inner: int):

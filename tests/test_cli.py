@@ -297,3 +297,24 @@ def test_steps_per_dispatch_exact_count(scene_dir, tmp_path):
     with open(os.path.join(ckpt_dir, "w", "000023.ckpt"), "rb") as f:
         sd = fser.msgpack_restore(f.read())
     assert int(sd["step"]) == 23
+
+
+def test_train_occ_grid_cli(scene_dir, tmp_path):
+    """--occ_grid end to end: warmup phase (uniform) then grid-guided
+    steps, crossing the warmup boundary inside the run; fused dispatch."""
+    data_dir, scene_id = scene_dir
+    ckpt_dir = str(tmp_path / "ckpts_occ")
+    plnerf_main(TINY + [
+        "--task", "train", "--mode", "linear", "--constant_init", "2",
+        "--expname", "exp_occ", "--ckpt_dir", ckpt_dir,
+        "--data_dir", data_dir, "--scene_id", scene_id,
+        "--num_iterations", "14", "--i_weights", "14",
+        "--steps_per_dispatch", "4",
+        "--occ_grid", "--occ_warmup", "6", "--occ_res", "16",
+        "--occ_candidates", "16", "--occ_bound", "1.5",
+    ])
+    exp = os.path.join(ckpt_dir, "exp_occ")
+    assert os.path.exists(os.path.join(exp, "000014.ckpt"))
+    log = [json.loads(l) for l in
+           open(os.path.join(exp, "metrics.jsonl"))]
+    assert all(np.isfinite(r["train/loss"]) for r in log if "train/loss" in r)

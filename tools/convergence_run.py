@@ -1,0 +1,233 @@
+#!/usr/bin/env python
+"""Multi-object convergence study (VERDICT.md round 1, item 5): train the
+real recipes on the 160^2 spheres+slab fixture for thousands of TPU iters
+in {constant, linear, depth} modes, eval held-out PSNR/SSIM (+depth RMSE)
+on a cadence, and append curves to convergence_runs.jsonl.
+
+Recipes mirrored:
+  constant: N_samples=64,  N_importance=128 (configs/blender_constant.txt)
+  linear:   N_samples=128, N_importance=64, constant_init=1000, precrop 500
+            (configs/blender_linear.txt)
+  depth:    linear 128+64, space-carving weight 0.007 on GT-depth
+            hypotheses, softplus(10) density, pi-bands, multires 9/0,
+            joint Adam + grad clip 0.1, pixel-center rays
+            (depth_supervised_exps recipe, README.md:57-60)
+
+Usage: python tools/convergence_run.py [--mode constant|linear|depth]
+       [--iters N] [--tiny]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+OUT = "convergence_runs.jsonl"
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+
+
+def emit(rec):
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
+class DS:
+    pass
+
+
+def build_dataset(tiny):
+    from plnerf.data.synthetic import make_multi_object_dataset
+
+    if tiny:
+        d = make_multi_object_dataset(n_train=6, n_test=2, H=48, W=48,
+                                      cache_dir=CACHE)
+    else:
+        d = make_multi_object_dataset(n_train=30, n_test=6, H=160, W=160,
+                                      cache_dir=CACHE)
+    ds = DS()
+    ds.images = d["images"]
+    ds.poses = d["poses"]
+    ds.depths = d["depths"]
+    ds.K = d["K"]
+    ds.hwf = d["hwf"]
+    ds.near, ds.far = d["near"], d["far"]
+    ds.i_train, ds.i_test = d["i_train"], d["i_test"]
+    ds.gt_depths = d["depths"][..., None]
+    ds.gt_valid_depths = (d["depths"] > 0.0)
+    # vector intrinsics for the pixel-center (depth-script) convention
+    ds.intrinsics = np.tile(
+        np.array([ds.K[0, 0], ds.K[1, 1], ds.K[0, 2], ds.K[1, 2]],
+                 np.float32), (d["images"].shape[0], 1))
+    return ds
+
+
+def eval_test(state, ds, mcfg, rcfg, n_views, seed, pixel_center=False,
+              chunk=8192):
+    from plnerf.eval import images as EI
+
+    mm, _ = EI.render_images_with_metrics(
+        state.params_coarse, state.params_fine, ds,
+        list(ds.i_test[:n_views]), mcfg, EI.test_render_config(rcfg),
+        chunk=chunk, verbose=False, seed=seed, pixel_center=pixel_center)
+    out = {"psnr": round(float(mm.get("psnr")), 2),
+           "ssim": round(float(mm.get("ssim")), 4)}
+    if mm.has("depth_rmse"):
+        out["depth_rmse"] = round(float(mm.get("depth_rmse")), 4)
+    return out
+
+
+def run_nvs(mode, iters, tiny):
+    import jax
+    import jax.numpy as jnp
+
+    from plnerf.core.config import ModelConfig, RenderConfig
+    from plnerf.train import batching, step as train_step
+
+    ds = build_dataset(tiny)
+    mcfg = (ModelConfig(netdepth=4, netwidth=64, skips=(2,), multires=6,
+                        multires_views=2) if tiny else ModelConfig())
+    ns, ni = ((32, 16) if tiny else
+              ((128, 64) if mode == "linear" else (64, 128)))
+    n_rand = 256 if tiny else 1024
+    rcfg = RenderConfig(n_samples=ns, n_importance=ni, mode=mode,
+                        white_bkgd=True, perturb=True,
+                        mlp_dtype="bfloat16")
+    setup = train_step.TrainSetup(mcfg=mcfg, rcfg=rcfg, lrate=5e-4)
+    state = train_step.init_state(jax.random.key(0), setup)
+
+    images_j = jnp.asarray(ds.images)
+    poses_j = jnp.asarray(ds.poses)
+    i_train = jnp.asarray(ds.i_train)
+    precrop_iters = 500 if mode == "linear" else 0
+    constant_init = 1000 if mode == "linear" else 0
+    n_inner = 100
+
+    def make_fused(ci, precrop):
+        s = dataclasses.replace(
+            setup, rcfg=dataclasses.replace(rcfg, constant_init=ci))
+        base = train_step.build_one_step(s)
+
+        def fused(state, key):
+            keys = jax.random.split(key, n_inner)
+
+            def body(st, k):
+                kb, ks = jax.random.split(k)
+                rays, target, _ = batching.sample_one_image_batch(
+                    images_j, poses_j, ds.K, i_train, kb, n_rand,
+                    ds.near, ds.far, True, precrop=precrop)
+                return base(st, {"rays": rays, "target": target}, ks)
+
+            st, metrics = jax.lax.scan(body, state, keys)
+            return st, jax.tree.map(lambda m: m[-1], metrics)
+
+        return jax.jit(fused, donate_argnums=(0,))
+
+    phases = {}
+    key = jax.random.key(1)
+    done = 0
+    t0 = time.time()
+    while done < iters:
+        ci = mode == "linear" and done < constant_init
+        pc = done < precrop_iters
+        if (ci, pc) not in phases:
+            phases[(ci, pc)] = make_fused(ci, pc)
+        key, ks = jax.random.split(key)
+        state, metrics = phases[(ci, pc)](state, ks)
+        done += n_inner
+        train_psnr = float(metrics["psnr"])
+        if done % 1000 == 0 or done >= iters:
+            ev = eval_test(state, ds, mcfg, rcfg, n_views=2, seed=done)
+            emit({"run": mode, "iter": done,
+                  "train_psnr": round(train_psnr, 2), **ev,
+                  "elapsed_s": round(time.time() - t0, 1)})
+    final = eval_test(state, ds, mcfg, rcfg, n_views=len(ds.i_test),
+                      seed=999)
+    emit({"run": mode, "iter": done, "final": True, **final,
+          "elapsed_s": round(time.time() - t0, 1)})
+
+
+def run_depth(iters, tiny):
+    import jax
+    import jax.numpy as jnp
+
+    from plnerf.cli.run_depth import _make_depth_step
+    from plnerf.core.config import ModelConfig, RenderConfig
+    from plnerf.train import step as train_step
+
+    ds = build_dataset(tiny)
+    mcfg = ModelConfig(
+        netdepth=4 if tiny else 8, netwidth=64 if tiny else 256,
+        skips=(2,) if tiny else (4,),
+        multires=6 if tiny else 9, multires_views=0, use_viewdirs=True,
+        pi_bands=True, density_activation="softplus10", init="xavier")
+    ns, ni = (32, 16) if tiny else (128, 64)
+    n_rand = 256 if tiny else 1024
+    rcfg = RenderConfig(
+        n_samples=ns, n_importance=ni, mode="linear", white_bkgd=True,
+        perturb=True, compute_pred_hyp=True, trim_first_weight=True,
+        mlp_dtype="bfloat16")
+    setup = train_step.TrainSetup(
+        mcfg=mcfg, rcfg=rcfg, lrate=5e-4, joint_optimizer=True,
+        grad_clip_value=0.1, space_carving_weight=0.007,
+        scaleshift_lr=1e-6, freeze_ss=0,
+        start_decay_lrate=400000, end_decay_lrate=500000)
+    state = train_step.init_state(jax.random.key(0), setup,
+                                  n_images=ds.images.shape[0])
+
+    n_inner = 100
+    step = _make_depth_step(setup, n_rand, ds.near, ds.far, None, n_inner)
+    images_j = jnp.asarray(ds.images, jnp.float32)
+    poses_j = jnp.asarray(ds.poses, jnp.float32)
+    intr_j = jnp.asarray(ds.intrinsics, jnp.float32)
+    hyp = jnp.asarray(ds.gt_depths)[:, None]      # [N,1,H,W,1]
+    sc_mask = jnp.asarray(ds.gt_valid_depths.astype(np.float32))
+    i_train_j = jnp.asarray(ds.i_train)
+
+    key = jax.random.key(2)
+    done = 0
+    t0 = time.time()
+    while done < iters:
+        key, ks = jax.random.split(key)
+        state, metrics = step(state, images_j, poses_j, intr_j, hyp,
+                              sc_mask, i_train_j, ks)
+        done += n_inner
+        if done % 1000 == 0 or done >= iters:
+            ev = eval_test(state, ds, mcfg, rcfg, n_views=2, seed=done,
+                           pixel_center=True)
+            emit({"run": "depth", "iter": done,
+                  "train_psnr": round(float(metrics["psnr"]), 2),
+                  "sc_loss": round(float(metrics["space_carving_loss"]), 5),
+                  **ev, "elapsed_s": round(time.time() - t0, 1)})
+    final = eval_test(state, ds, mcfg, rcfg, n_views=len(ds.i_test),
+                      seed=999, pixel_center=True)
+    emit({"run": "depth", "iter": done, "final": True, **final,
+          "elapsed_s": round(time.time() - t0, 1)})
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="all",
+                    choices=["constant", "linear", "depth", "all"])
+    ap.add_argument("--iters", type=int, default=8000)
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args()
+
+    modes = ([args.mode] if args.mode != "all"
+             else ["constant", "linear", "depth"])
+    for m in modes:
+        if m == "depth":
+            run_depth(args.iters, args.tiny)
+        else:
+            run_nvs(m, args.iters, args.tiny)
+
+
+if __name__ == "__main__":
+    main()
