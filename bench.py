@@ -8,12 +8,20 @@ PL importance sampler) — 8x256 MLPs, viewdirs, white background: one
 fused jit containing render (coarse+fine), loss, backward, and both Adam
 updates, with INNER steps scan-fused per dispatch.
 
+The single JSON line also carries ``extras`` (VERDICT round 1, item 8 —
+the driver-captured record should not depend on hand-edited docs):
+* ``constant_rays_per_sec``  — the constant recipe (64+128)
+* ``occ_rays_per_sec``       — the flag-gated occupancy-grid path
+  (32 grid-guided coarse + 64 importance; quality A/B lives in
+  BASELINE.md, throughput here)
+* ``eval_rays_per_sec``      — full-image 800x800 inference, linear recipe
+
 Baseline derivation (the reference publishes no numbers, BASELINE.md):
 nerf-pytorch-style training on a V100 runs the 1024-ray / 64+192-eval step
 at roughly 2.5-3 it/s => ~2,800 rays/s.  The north-star target is >=5x
 V100 throughput on a v5e-8 at matched PSNR (BASELINE.json), i.e.
 5 * 2800 = 14,000 rays/s aggregate => 1,750 rays/s/chip.  vs_baseline
-reported here is measured_rays_per_sec_per_chip / 1750.
+reported here is measured_rays_per_sec_per_chip / 1750 for the flagship.
 
 Measurement integrity: through this container's axon relay
 ``block_until_ready`` often acks BEFORE device completion (measured
@@ -21,8 +29,9 @@ Measurement integrity: through this container's axon relay
 closed by materializing the loss VALUE — a device->host fetch cannot
 complete early.  The fetch itself can stall on the relay, which only
 makes the measurement conservative.  Rounds are additionally validated
-against a FLOP floor; a SIGALRM watchdog reports the best valid round if
-the relay stalls outright.
+against a per-config FLOP floor; a SIGALRM watchdog reports everything
+measured so far if the relay stalls.  The flagship runs FIRST so the
+primary metric survives any stall.
 
 Prints exactly ONE JSON line on stdout.
 """
@@ -38,18 +47,18 @@ V100_REFERENCE_RAYS_PER_SEC = 2800.0
 TARGET_MULTIPLIER = 5.0
 PER_CHIP_TARGET = TARGET_MULTIPLIER * V100_REFERENCE_RAYS_PER_SEC / 8.0
 
-N_RAND = 8192        # per-chip ray batch (16384 exceeds v5e HBM)
+N_RAND = 8192        # per-chip ray batch (16384 exceeds v5e HBM w/o remat)
 INNER = 10           # optimization steps fused into one dispatch (lax.scan)
 STEPS_PER_ROUND = 10  # dispatches per round => 100 steps/round
-N_ROUNDS = 3
-DEADLINE_S = 420
+DEADLINE_S = 540
 
-# physical sanity floor: fwd+bwd+opt FLOPs per step / generous peak.
-# points/step = N_RAND * (128 coarse + 192 fine); ~0.99 MFLOP per point
-# forward for the 8x256 MLP pair; x3 for backward.
-_FLOPS_PER_STEP = N_RAND * 320 * 0.99e6 * 3
-_PEAK_FLOPS = 400e12            # ~2x the v5e bf16 peak: deliberately loose
-MIN_STEP_S = _FLOPS_PER_STEP / _PEAK_FLOPS
+# physical sanity floor: ~0.99 MFLOP per MLP point forward (8x256 pair),
+# x3 for backward, against a deliberately loose 2x-peak 400 TFLOP/s.
+_PEAK_FLOPS = 400e12
+
+
+def _min_step_s(points_per_ray: int) -> float:
+    return N_RAND * points_per_ray * 0.99e6 * 3 / _PEAK_FLOPS
 
 
 class _Deadline(Exception):
@@ -60,82 +69,183 @@ def _alarm(_sig, _frm):
     raise _Deadline()
 
 
-def main():
+def _make_rays(n):
+    import jax
+    import jax.numpy as jnp
+
+    k1, k2 = jax.random.split(jax.random.key(1))
+    rays_d = jax.random.normal(k1, (n, 3))
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    origins = jax.random.normal(k2, (n, 3)) * 0.1
+    return jnp.concatenate(
+        [origins, rays_d, jnp.full((n, 1), 2.0), jnp.full((n, 1), 6.0),
+         rays_d], axis=-1,
+    )
+
+
+def _bench_rounds(run_round, points_per_ray, label, n_rounds):
+    """run_round() executes STEPS_PER_ROUND dispatches and returns the
+    value-fetch-closed wall time.  Returns best valid rays/s or None."""
+    floor = _min_step_s(points_per_ray)
+    n_steps = STEPS_PER_ROUND * INNER
+    best = None
+    for r in range(n_rounds):
+        dt = run_round(r)
+        per_step = dt / n_steps
+        rps = N_RAND * n_steps / dt
+        valid = per_step >= floor
+        tag = "" if valid else "  [DISCARDED: faster than FLOP floor =>" \
+            " premature relay ack]"
+        print(f"[bench] {label} round {r}: {per_step*1e3:.2f} ms/step, "
+              f"{rps:,.0f} rays/s{tag}", file=sys.stderr, flush=True)
+        if valid:
+            best = max(best or 0.0, rps)
+    return best
+
+
+def _bench_train(mode, n_samples, n_importance, n_rounds, occ=False):
     import jax
     import jax.numpy as jnp
 
     from plnerf.core.config import ModelConfig, RenderConfig
     from plnerf.train import step as train_step
 
-    signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(DEADLINE_S)
-
     mcfg = ModelConfig()
+    occ_cfg = None
+    if occ:
+        from plnerf.core import occgrid as og
+
+        occ_cfg = og.OccGridConfig(resolution=128, candidates=96)
     rcfg = RenderConfig(
-        n_samples=128, n_importance=64, mode="linear",
+        n_samples=n_samples, n_importance=n_importance, mode=mode,
         color_mode="midpoint", white_bkgd=True, perturb=True,
-        raw_noise_std=0.0, mlp_dtype="bfloat16",
+        raw_noise_std=0.0, mlp_dtype="bfloat16", occ=occ_cfg,
     )
     setup = train_step.TrainSetup(mcfg=mcfg, rcfg=rcfg)
     state = train_step.init_state(jax.random.key(0), setup)
-    stepf = train_step.make_multi_train_step(setup, INNER)
 
-    k1, k2 = jax.random.split(jax.random.key(1))
-    rays_d = jax.random.normal(k1, (N_RAND, 3))
-    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-    origins = jax.random.normal(k2, (N_RAND, 3)) * 0.1
-    rays = jnp.concatenate(
-        [origins, rays_d, jnp.full((N_RAND, 1), 2.0),
-         jnp.full((N_RAND, 1), 6.0), rays_d], axis=-1,
-    )
+    rays = _make_rays(N_RAND)
     batch = {
         "rays": jnp.broadcast_to(rays, (INNER,) + rays.shape),
         "target": jnp.full((INNER, N_RAND, 3), 0.5),
     }
 
-    best = None  # fastest VALID completed round (rays/sec)
-    try:
-        # compile + warmup (second call settles dispatch caches)
-        key = jax.random.key(2)
-        for _ in range(2):
-            state, metrics = stepf(state, batch, key)
-            jax.block_until_ready(metrics["loss"])
-        print(f"[bench] warmup done (flop floor {MIN_STEP_S*1e3:.1f} "
-              f"ms/step)", file=sys.stderr, flush=True)
+    if not occ:
+        stepf = train_step.make_multi_train_step(setup, INNER)
+        carry = state
+    else:
+        from plnerf.core import occgrid as og
+        from plnerf.train.step import _apply_occ_update
 
-        n_steps = STEPS_PER_ROUND * INNER
-        for r in range(N_ROUNDS):
-            t0 = time.perf_counter()
-            for i in range(STEPS_PER_ROUND):
-                key = jax.random.fold_in(key, r * STEPS_PER_ROUND + i)
-                state, metrics = stepf(state, batch, key)
-            loss_val = float(metrics["loss"])   # forces real completion
-            dt = time.perf_counter() - t0
-            per_step = dt / n_steps
-            rps = N_RAND * n_steps / dt
-            valid = per_step >= MIN_STEP_S
-            tag = "" if valid else "  [DISCARDED: faster than FLOP floor"\
-                " => premature relay ack]"
-            print(f"[bench] round {r}: {per_step*1e3:.2f} ms/step, "
-                  f"{rps:,.0f} rays/s{tag}", file=sys.stderr, flush=True)
-            if valid:
-                best = max(best or 0.0, rps)
+        one = train_step.build_one_step(setup)
+
+        def multi(carry, batch, key):
+            keys = jax.random.split(key, INNER)
+
+            def body(c, xs):
+                st, grid = c
+                b, k = xs
+                st, m = one(st, dict(b, occ_grid=grid), k)
+                grid, m = _apply_occ_update(setup, grid, b, m)
+                return (st, grid), m
+
+            carry, metrics = jax.lax.scan(body, carry, (batch, keys))
+            return carry, jax.tree.map(lambda m: m[-1], metrics)
+
+        stepf = jax.jit(multi, donate_argnums=(0,))
+        carry = (state, og.init_grid([-1.5] * 3, [1.5] * 3, occ_cfg))
+
+    key = jax.random.key(2)
+    for _ in range(2):  # compile + settle dispatch caches
+        carry, metrics = stepf(carry, batch, key)
+        jax.block_until_ready(metrics["loss"])
+
+    def run_round(r):
+        nonlocal carry, key
+        t0 = time.perf_counter()
+        for i in range(STEPS_PER_ROUND):
+            key = jax.random.fold_in(key, r * STEPS_PER_ROUND + i)
+            carry, metrics = stepf(carry, batch, key)
+        float(metrics["loss"])   # value fetch forces real completion
+        return time.perf_counter() - t0
+
+    pts = n_samples + (n_samples + n_importance)
+    label = f"{mode}{'-occ' if occ else ''} {n_samples}+{n_importance}"
+    return _bench_rounds(run_round, pts, label, n_rounds)
+
+
+def _bench_eval():
+    """Full-image 800x800 inference, linear flagship recipe, bf16."""
+    import numpy as np
+    import jax
+
+    from plnerf.core.config import ModelConfig, RenderConfig
+    from plnerf.core.mlp import init_nerf_params
+    from plnerf.eval import images as EI
+
+    mcfg = ModelConfig()
+    rcfg = RenderConfig(n_samples=128, n_importance=64, mode="linear",
+                        white_bkgd=True, perturb=True,
+                        mlp_dtype="bfloat16")
+    pc = init_nerf_params(jax.random.key(0), mcfg)
+    pf = init_nerf_params(jax.random.key(1), mcfg)
+    H = W = 800
+    focal = 0.5 * W / np.tan(0.25)
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                 np.float32)
+    c2w = np.eye(4, dtype=np.float32)[:3]
+    c2w[2, 3] = 4.0
+
+    def render():
+        out = EI.render_image(pc, pf, c2w, (H, W, focal), K, mcfg, rcfg,
+                              jax.random.key(3), chunk=32768)
+        return float(np.asarray(out["rgb_map"]).sum())  # value fetch
+
+    render()  # compile
+    t0 = time.perf_counter()
+    render()
+    dt = time.perf_counter() - t0
+    rps = H * W / dt
+    # eval FLOP floor: forward only
+    floor = H * W * 320 * 0.99e6 / _PEAK_FLOPS
+    print(f"[bench] eval 800x800: {dt:.2f} s/img, {rps:,.0f} rays/s",
+          file=sys.stderr, flush=True)
+    return rps if dt >= floor else None
+
+
+def main():
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(DEADLINE_S)
+
+    flagship = constant = occ = eval_rps = None
+    try:
+        flagship = _bench_train("linear", 128, 64, n_rounds=3)
+        constant = _bench_train("constant", 64, 128, n_rounds=2)
+        occ = _bench_train("linear", 32, 64, n_rounds=2, occ=True)
+        eval_rps = _bench_eval()
     except _Deadline:
-        print("[bench] deadline hit (relay stall); reporting best valid "
-              "round so far", file=sys.stderr, flush=True)
-        if best is None:
-            raise SystemExit("bench: no valid round completed")
+        print("[bench] deadline hit (relay stall); reporting what "
+              "completed", file=sys.stderr, flush=True)
     finally:
         signal.alarm(0)
 
-    if best is None:
-        raise SystemExit("bench: every round was below the FLOP floor "
-                         "(relay acked early); no trustworthy measurement")
+    if flagship is None:
+        raise SystemExit("bench: no valid flagship round completed "
+                         "(relay acked early or stalled); no trustworthy "
+                         "measurement")
+    extras = {}
+    if constant:
+        extras["constant_rays_per_sec"] = round(constant, 1)
+    if occ:
+        extras["occ_rays_per_sec"] = round(occ, 1)
+    if eval_rps:
+        extras["eval_rays_per_sec"] = round(eval_rps, 1)
     result = {
         "metric": "train_rays_per_sec_per_chip",
-        "value": round(best, 1),
+        "value": round(flagship, 1),
         "unit": "rays/s",
-        "vs_baseline": round(best / PER_CHIP_TARGET, 3),
+        "vs_baseline": round(flagship / PER_CHIP_TARGET, 3),
+        "extras": extras,
     }
     print(json.dumps(result))
 

@@ -174,6 +174,10 @@ def add_base_flags(parser: ConfigArgumentParser) -> None:
     a("--remat", action="store_true",
       help="rematerialize the MLP in backward (jax.checkpoint) to raise "
            "the ray-batch memory ceiling")
+    a("--grad_accum", type=int, default=1,
+      help="accumulate grads over N equal ray chunks (lax.scan) per "
+           "optimizer step: peak HBM of one chunk, same update — lifts "
+           "the large-N_rand memory ceiling")
     a("--no_mesh", action="store_true",
       help="disable the device mesh (single-chip even if more visible)")
     a("--occ_grid", action="store_true",

