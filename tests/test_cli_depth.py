@@ -82,3 +82,24 @@ def test_depth_samples_error_and_video(scene_dir, tmp_path):
     files = os.listdir(vid)
     assert any(f.startswith("depth_") for f in files), files
     assert any(f.startswith("depthcolor_") for f in files)
+
+
+def test_depth_fine_dims_honored():
+    """--netdepth_fine/--netwidth_fine build a distinct fine network
+    (ADVICE round 1: they were silently ignored; reference builds
+    model_fine from them, run_nerf_sample_based_depth.py:581)."""
+    from plnerf.cli.run_depth import build_configs, config_parser
+
+    args = config_parser().parse_args([
+        "train", "--netdepth", "4", "--netwidth", "64",
+        "--netdepth_fine", "6", "--netwidth_fine", "128",
+    ])
+    mcfg, rcfg, setup = build_configs(args)
+    assert setup.mcfg_fine is not None
+    assert setup.mcfg_fine.netdepth == 6
+    assert setup.mcfg_fine.netwidth == 128
+    assert mcfg.netdepth == 4 and mcfg.netwidth == 64
+    # equal dims -> no separate fine config (shared jit cache)
+    args = config_parser().parse_args(["train"])
+    _, _, setup = build_configs(args)
+    assert setup.mcfg_fine is None

@@ -85,19 +85,29 @@ def eval_test(state, ds, mcfg, rcfg, n_views, seed, pixel_center=False,
 
 
 def run_nvs(mode, iters, tiny):
+    """mode: constant | linear | occ (linear recipe with occupancy-grid
+    guided coarse sampling, 32 guided + 64 importance — the quality half
+    of the occ-grid >=2x claim; throughput half lives in bench.py)."""
     import jax
     import jax.numpy as jnp
 
+    from plnerf.core import occgrid as og
     from plnerf.core.config import ModelConfig, RenderConfig
     from plnerf.train import batching, step as train_step
+    from plnerf.train.step import _apply_occ_update
 
+    use_occ = mode == "occ"
+    qmode = "linear" if use_occ else mode
     ds = build_dataset(tiny)
     mcfg = (ModelConfig(netdepth=4, netwidth=64, skips=(2,), multires=6,
                         multires_views=2) if tiny else ModelConfig())
     ns, ni = ((32, 16) if tiny else
-              ((128, 64) if mode == "linear" else (64, 128)))
+              ((32, 64) if use_occ else
+               ((128, 64) if mode == "linear" else (64, 128))))
     n_rand = 256 if tiny else 1024
-    rcfg = RenderConfig(n_samples=ns, n_importance=ni, mode=mode,
+    occ_cfg = og.OccGridConfig(resolution=128, candidates=96) \
+        if use_occ else None
+    rcfg = RenderConfig(n_samples=ns, n_importance=ni, mode=qmode,
                         white_bkgd=True, perturb=True,
                         mlp_dtype="bfloat16")
     setup = train_step.TrainSetup(mcfg=mcfg, rcfg=rcfg, lrate=5e-4)
@@ -106,27 +116,35 @@ def run_nvs(mode, iters, tiny):
     images_j = jnp.asarray(ds.images)
     poses_j = jnp.asarray(ds.poses)
     i_train = jnp.asarray(ds.i_train)
-    precrop_iters = 500 if mode == "linear" else 0
-    constant_init = 1000 if mode == "linear" else 0
+    precrop_iters = 500 if qmode == "linear" else 0
+    constant_init = 1000 if qmode == "linear" else 0
+    occ_warmup = 500 if use_occ else 0
     n_inner = 100
 
-    def make_fused(ci, precrop):
+    def make_fused(ci, precrop, occ_on=False):
         s = dataclasses.replace(
-            setup, rcfg=dataclasses.replace(rcfg, constant_init=ci))
+            setup, rcfg=dataclasses.replace(
+                rcfg, constant_init=ci, occ=occ_cfg if occ_on else None))
         base = train_step.build_one_step(s)
 
-        def fused(state, key):
+        def fused(carry, key):
             keys = jax.random.split(key, n_inner)
 
-            def body(st, k):
+            def body(c, k):
                 kb, ks = jax.random.split(k)
                 rays, target, _ = batching.sample_one_image_batch(
                     images_j, poses_j, ds.K, i_train, kb, n_rand,
                     ds.near, ds.far, True, precrop=precrop)
-                return base(st, {"rays": rays, "target": target}, ks)
+                batch = {"rays": rays, "target": target}
+                if occ_on:
+                    st, grid = c
+                    st, m = base(st, dict(batch, occ_grid=grid), ks)
+                    grid, m = _apply_occ_update(s, grid, batch, m)
+                    return (st, grid), m
+                return base(c, batch, ks)
 
-            st, metrics = jax.lax.scan(body, state, keys)
-            return st, jax.tree.map(lambda m: m[-1], metrics)
+            c, metrics = jax.lax.scan(body, carry, keys)
+            return c, jax.tree.map(lambda m: m[-1], metrics)
 
         return jax.jit(fused, donate_argnums=(0,))
 
@@ -134,20 +152,28 @@ def run_nvs(mode, iters, tiny):
     key = jax.random.key(1)
     done = 0
     t0 = time.time()
+    carry = state
+    occ_engaged = False
     while done < iters:
-        ci = mode == "linear" and done < constant_init
+        ci = qmode == "linear" and done < constant_init
         pc = done < precrop_iters
-        if (ci, pc) not in phases:
-            phases[(ci, pc)] = make_fused(ci, pc)
+        occ_on = use_occ and done >= occ_warmup
+        if occ_on and not occ_engaged:
+            carry = (carry, og.init_grid([-2.0] * 3, [2.0] * 3, occ_cfg))
+            occ_engaged = True
+        if (ci, pc, occ_on) not in phases:
+            phases[(ci, pc, occ_on)] = make_fused(ci, pc, occ_on)
         key, ks = jax.random.split(key)
-        state, metrics = phases[(ci, pc)](state, ks)
+        carry, metrics = phases[(ci, pc, occ_on)](carry, ks)
         done += n_inner
         train_psnr = float(metrics["psnr"])
         if done % 1000 == 0 or done >= iters:
-            ev = eval_test(state, ds, mcfg, rcfg, n_views=2, seed=done)
+            st = carry[0] if occ_engaged else carry
+            ev = eval_test(st, ds, mcfg, rcfg, n_views=2, seed=done)
             emit({"run": mode, "iter": done,
                   "train_psnr": round(train_psnr, 2), **ev,
                   "elapsed_s": round(time.time() - t0, 1)})
+    state = carry[0] if occ_engaged else carry
     final = eval_test(state, ds, mcfg, rcfg, n_views=len(ds.i_test),
                       seed=999)
     emit({"run": mode, "iter": done, "final": True, **final,
@@ -215,7 +241,7 @@ def run_depth(iters, tiny):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="all",
-                    choices=["constant", "linear", "depth", "all"])
+                    choices=["constant", "linear", "depth", "occ", "all"])
     ap.add_argument("--iters", type=int, default=8000)
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
