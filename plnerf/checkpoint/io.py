@@ -33,6 +33,23 @@ def save_checkpoint(ckpt_dir: str, step: int, tree: Any) -> str:
     return path
 
 
+def aux_path(ckpt_path: str, suffix: str) -> str:
+    """Sidecar file sharing a checkpoint's step stem: 000100.ckpt ->
+    000100.<suffix> (e.g. the occupancy grid trained alongside the params —
+    kept out of the .ckpt so its format stays reference-convertible)."""
+    return os.path.splitext(ckpt_path)[0] + "." + suffix
+
+
+def save_aux(ckpt_path: str, suffix: str, tree: Any) -> str:
+    path = aux_path(ckpt_path, suffix)
+    data = fser.msgpack_serialize(fser.to_state_dict(tree))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+    return path
+
+
 def list_checkpoints(ckpt_dir: str):
     if not os.path.isdir(ckpt_dir):
         return []

@@ -189,11 +189,13 @@ def add_base_flags(parser: ConfigArgumentParser) -> None:
       help="uniform candidate bins tested against the grid per ray")
     a("--occ_warmup", type=int, default=256,
       help="steps of plain uniform sampling before the grid engages "
-           "(also re-applied after resume; the grid is not checkpointed)")
+           "(the grid is checkpointed as a <step>.occ sidecar and restored "
+           "on resume and by eval tasks)")
     a("--occ_bound", type=float, default=1.5,
       help="scene half-extent: grid covers [-b, b]^3")
-    a("--occ_decay", type=float, default=0.97,
-      help="per-step EMA decay of the grid densities")
+    a("--occ_decay", type=float, default=0.9,
+      help="EMA decay of a grid cell per fresh observation "
+           "(visited-only; see core/occgrid.update_grid)")
     a("--occ_threshold", type=float, default=1e-2,
       help="density above which a cell counts as occupied")
     a("--occ_floor", type=float, default=0.01,

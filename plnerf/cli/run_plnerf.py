@@ -100,6 +100,48 @@ def get_mesh(args):
     return pmesh.make_mesh()
 
 
+def occ_cfg_from_args(args):
+    """OccGridConfig from the --occ_* flags, or None (flag-gated TPU perf
+    path; no reference equivalent)."""
+    if not getattr(args, "occ_grid", False):
+        return None
+    from ..core import occgrid as og
+
+    return og.OccGridConfig(
+        resolution=args.occ_res, candidates=args.occ_candidates,
+        decay=args.occ_decay, threshold=args.occ_threshold,
+        floor=args.occ_floor, warmup=args.occ_warmup,
+    )
+
+
+def _fresh_occ_grid(args, occ_cfg):
+    from ..core import occgrid as og
+
+    b = float(args.occ_bound)
+    return og.init_grid([-b, -b, -b], [b, b, b], occ_cfg)
+
+
+def occ_for_eval(args):
+    """(occ_cfg, grid) for a standalone eval task: the sidecar grid saved
+    next to the checkpoint under evaluation, or a fresh all-occupied grid
+    (== uniform stratified sampling) when none exists.  Occ-trained coarse
+    networks only see grid-guided sample distributions, so eval must use
+    the same guidance (see eval/images.render_image)."""
+    occ_cfg = occ_cfg_from_args(args)
+    if occ_cfg is None:
+        return None, None
+    grid = _fresh_occ_grid(args, occ_cfg)
+    path = args.ft_path or ckio.latest_checkpoint(exp_dir(args))
+    if path:
+        gp = ckio.aux_path(path, "occ")
+        if os.path.exists(gp):
+            grid = ckio.restore_checkpoint(gp, grid)
+        else:
+            print("WARNING: --occ_grid eval but no sidecar grid at",
+                  gp, "— using a fresh (uniform) grid")
+    return occ_cfg, grid
+
+
 # ---------------------------------------------------------------------------
 # train
 # ---------------------------------------------------------------------------
@@ -214,20 +256,17 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
     key = jax.random.PRNGKey(args.seed)
 
     # occupancy grid (flag-gated TPU perf path; no reference equivalent).
-    # The grid is not checkpointed: after resume the warmup re-applies and
-    # the EMA re-warms from the run's own density evaluations.
-    occ_cfg = None
+    # Checkpointed as a sidecar (<step>.occ) so resumes and eval tasks see
+    # the trained grid, not a re-warming one.
+    occ_cfg = occ_cfg_from_args(args)
     occ_state = None
-    if getattr(args, "occ_grid", False):
-        from ..core import occgrid as og
-
-        occ_cfg = og.OccGridConfig(
-            resolution=args.occ_res, candidates=args.occ_candidates,
-            decay=args.occ_decay, threshold=args.occ_threshold,
-            floor=args.occ_floor, warmup=args.occ_warmup,
-        )
-        b = float(args.occ_bound)
-        occ_state = og.init_grid([-b, -b, -b], [b, b, b], occ_cfg)
+    if occ_cfg is not None:
+        occ_state = _fresh_occ_grid(args, occ_cfg)
+        if start > 0:
+            gp = ckio.aux_path(
+                os.path.join(exp_dir(args), f"{start:06d}.ckpt"), "occ")
+            if os.path.exists(gp):
+                occ_state = ckio.restore_checkpoint(gp, occ_state)
         if mesh is not None:
             occ_state = pmesh.replicate(occ_state, mesh)
 
@@ -310,6 +349,13 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
     while i0 <= n_iters:
         nb = next((b for b in boundaries if b > i0), n_iters + 1)
         window_end = min(i0 + n_inner - 1, nb - 1, n_iters)
+        if use_batching:
+            # Consume the pool tail with full-batch remainder steps instead
+            # of dropping it (the reference consumes every ray each epoch,
+            # run_plnerf.py:1244-1248); static shapes mean only a < n_rand
+            # remainder is skipped per epoch — see batching.build_ray_pool.
+            steps_left = (pool_j.shape[0] - i_batch) // n_rand
+            window_end = min(window_end, i0 + steps_left - 1)
         n_this = window_end - i0 + 1
         i = window_end
 
@@ -355,7 +401,7 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
                 steps[(const_init, occ_on)], pool_j, i_batch,
                 pool_offsets=[i_batch + j * n_rand for j in range(n_this)])
             i_batch += n_rand * n_this
-            if i_batch + n_rand * n_inner > pool_j.shape[0]:
+            if pool_j.shape[0] - i_batch < n_rand:
                 key, kperm = jax.random.split(key)
                 pool_j = jax.random.permutation(kperm, pool_j, axis=0)
                 i_batch = 0
@@ -390,15 +436,18 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
         if fires(args.i_weights):
             path = ckio.save_checkpoint(exp_dir(args), int(state.step),
                                         state)
+            if occ_state is not None:
+                ckio.save_aux(path, "occ", occ_state)
             print("Saved checkpoint at", path)
 
         if fires(args.i_img) and len(bundle.i_val) > 0:
             vi = int(bundle.i_val[(i // args.i_img) % len(bundle.i_val)])
             out = EI.render_image(
                 state.params_coarse, state.params_fine, data.poses[vi],
-                data.hwf, K, mcfg, EI.test_render_config(rcfg),
+                data.hwf, K, mcfg,
+                EI.test_render_config(rcfg, occ=occ_cfg),
                 near=bundle.near, far=bundle.far, chunk=args.chunk,
-                ndc=bundle.ndc, mesh=mesh,
+                ndc=bundle.ndc, mesh=mesh, occ_grid=occ_state,
             )
             val_mse = float(np.mean(
                 (out["rgb_map"] - np.asarray(data.images[vi])) ** 2))
@@ -409,15 +458,18 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
 
         if fires(args.i_testset) and i < n_iters:
             run_test(args, bundle, mcfg, rcfg, state=state, mesh=mesh,
-                     suffix=f"_{i:06d}", setup=setup)
+                     suffix=f"_{i:06d}", setup=setup,
+                     occ=(occ_cfg, occ_state))
 
         if fires(args.i_video) and i < n_iters:
             run_video(args, bundle, mcfg, rcfg, state=state, mesh=mesh,
-                      step=i, setup=setup)
+                      step=i, setup=setup, occ=(occ_cfg, occ_state))
 
     if profiling:  # run ended inside the profiled window
         jax.profiler.stop_trace()
-    ckio.save_checkpoint(exp_dir(args), int(state.step), state)
+    path = ckio.save_checkpoint(exp_dir(args), int(state.step), state)
+    if occ_state is not None:
+        ckio.save_aux(path, "occ", occ_state)
     logger.close()
     print("Training complete.")
 
@@ -434,16 +486,18 @@ def _load_state_for_eval(args, setup):
 
 
 def run_test(args, bundle, mcfg, rcfg, state=None, mesh=None,
-             suffix: str = "", setup=None):
+             suffix: str = "", setup=None, occ=None):
     if state is None:
         state = _load_state_for_eval(args, setup)
         mesh = get_mesh(args)
+    occ_cfg, occ_grid = occ if occ is not None else occ_for_eval(args)
     lp = load_lpips(getattr(args, "lpips_weights", None))
     mean_metrics, res = EI.render_images_with_metrics(
         state.params_coarse, state.params_fine, bundle.data, bundle.i_test,
-        mcfg, EI.test_render_config(rcfg), chunk=args.chunk,
+        mcfg, EI.test_render_config(rcfg, occ=occ_cfg), chunk=args.chunk,
         near=bundle.near, far=bundle.far, ndc=bundle.ndc, mesh=mesh,
         lpips_fn=lp, mcfg_fine=setup.mcfg_fine if setup else None,
+        occ_grid=occ_grid,
     )
     result_dir = os.path.join(
         exp_dir(args),
@@ -461,6 +515,7 @@ FIXED_DIST_NEAR = {0.25: 1e-4, 0.5: 0.5, 0.75: 1.0, 1.0: 2.0}
 def run_test_fixed_dist(args, mcfg, rcfg, setup):
     state = _load_state_for_eval(args, setup)
     mesh = get_mesh(args)
+    occ_cfg, occ_grid = occ_for_eval(args)
     lp = load_lpips(getattr(args, "lpips_weights", None))
     import copy
 
@@ -474,9 +529,9 @@ def run_test_fixed_dist(args, mcfg, rcfg, setup):
         bundle = load_dataset(eval_args)
         mean_metrics, res = EI.render_images_with_metrics(
             state.params_coarse, state.params_fine, bundle.data,
-            bundle.i_test, mcfg, EI.test_render_config(rcfg),
+            bundle.i_test, mcfg, EI.test_render_config(rcfg, occ=occ_cfg),
             chunk=args.chunk, near=near, far=bundle.far, mesh=mesh,
-            lpips_fn=lp, mcfg_fine=setup.mcfg_fine,
+            lpips_fn=lp, mcfg_fine=setup.mcfg_fine, occ_grid=occ_grid,
         )
         result_dir = os.path.join(
             exp_dir(args), f"test_images_dist{test_dist}_{args.scene_id}"
@@ -489,22 +544,25 @@ def run_test_fixed_dist(args, mcfg, rcfg, setup):
 def run_test_samples_error(args, bundle, mcfg, rcfg, setup):
     state = _load_state_for_eval(args, setup)
     mesh = get_mesh(args)
+    occ_cfg, occ_grid = occ_for_eval(args)
     result_dir = os.path.join(
         exp_dir(args), f"test_samples_error_{args.N_importance}"
     )
     return EI.test_images_samples(
         state.params_coarse, state.params_fine, bundle.data, bundle.i_test,
-        mcfg, EI.test_render_config(rcfg), result_dir, chunk=args.chunk,
-        mesh=mesh, mcfg_fine=setup.mcfg_fine,
+        mcfg, EI.test_render_config(rcfg, occ=occ_cfg), result_dir,
+        chunk=args.chunk, mesh=mesh, mcfg_fine=setup.mcfg_fine,
+        occ_grid=occ_grid,
     )
 
 
 def run_video(args, bundle, mcfg, rcfg, state=None, mesh=None, step=None,
-              setup=None):
+              setup=None, occ=None):
     if state is None:
         state = _load_state_for_eval(args, setup)
         mesh = get_mesh(args)
         step = int(state.step)
+    occ_cfg, occ_grid = occ if occ is not None else occ_for_eval(args)
     data = bundle.data
     poses = (np.asarray(data.poses)[bundle.i_test]
              if args.render_test else np.asarray(data.render_poses))
@@ -521,10 +579,11 @@ def run_video(args, bundle, mcfg, rcfg, state=None, mesh=None, step=None,
     )
     rgbs, _, _ = EI.render_path(
         state.params_coarse, state.params_fine, poses, data.hwf, K, mcfg,
-        EI.test_render_config(rcfg), near=bundle.near, far=bundle.far,
+        EI.test_render_config(rcfg, occ=occ_cfg),
+        near=bundle.near, far=bundle.far,
         chunk=args.chunk, savedir=savedir, render_factor=args.render_factor,
         mesh=mesh, ndc=bundle.ndc,
-        mcfg_fine=setup.mcfg_fine if setup else None,
+        mcfg_fine=setup.mcfg_fine if setup else None, occ_grid=occ_grid,
     )
     EI.write_video(os.path.join(savedir, "video.mp4"), rgbs, fps=30)
     print("Done rendering", savedir)

@@ -7,9 +7,9 @@ static shapes: instead of GPU-style sample *compaction* (dynamic shapes,
 divergent rays), the grid reshapes WHERE a fixed number of coarse samples
 land:
 
-* a coarse density grid (EMA of max density per voxel) is updated FOR FREE
-  from the densities the train step already computes at its ray samples
-  (no extra MLP evals; scatter-max + decay per step);
+* a coarse density grid (per-voxel EMA of observed density) is updated FOR
+  FREE from the densities the train step already computes at its ray
+  samples (no extra MLP evals; one fused scatter per step);
 * at sampling time each ray evaluates ``occ_candidates`` uniform candidate
   bins against the grid (a cheap global gather, zero MLP cost) and places
   its ``n_samples`` stratified samples by inverse-CDF over
@@ -44,7 +44,14 @@ class OccGridConfig:
     """Static configuration (jit-static; hashable)."""
     resolution: int = 128        # G: grid is [G, G, G]
     candidates: int = 128        # M: uniform candidate bins per ray
-    decay: float = 0.97          # EMA decay per update
+    # Per-observation EMA coefficient: a visited voxel blends
+    # decay*old + (1-decay)*obs (update_grid touches visited voxels only,
+    # so this can be aggressive without starving unvisited cells).  At
+    # 0.7 an empty visited voxel carves in ~7 observations and a
+    # transient density spike of 80 clears in ~25 — pure max-EMA needed
+    # ~85, and a measured mid-training spike held 40% of the grid
+    # falsely occupied for thousands of steps.
+    decay: float = 0.7
     threshold: float = 1e-2      # density above which a cell is occupied
     floor: float = 0.01          # PDF floor for unoccupied candidate bins
     warmup: int = 256            # driver: plain sampling for first N steps
@@ -54,14 +61,38 @@ def init_grid(aabb_min, aabb_max, cfg: OccGridConfig):
     """Fresh grid state (a plain dict pytree so orbax/np round-trips it).
 
     Density starts ABOVE threshold everywhere: unvisited space is presumed
-    occupied until training samples prove otherwise.
+    occupied until training samples prove otherwise.  ``occ`` is the
+    derived (dilated, thresholded) occupancy the sampler actually gathers
+    from — kept in the state so eval renders don't recompute it per chunk.
     """
     g = cfg.resolution
     return {
         "density": jnp.full((g, g, g), 10.0 * cfg.threshold, jnp.float32),
+        "occ": jnp.ones((g, g, g), jnp.float32),
         "aabb_min": jnp.asarray(aabb_min, jnp.float32),
         "aabb_max": jnp.asarray(aabb_max, jnp.float32),
     }
+
+
+def _dilate_max3(x: jnp.ndarray) -> jnp.ndarray:
+    """Separable 3x3x3 max-pool (SAME): one-voxel conservative dilation."""
+    for axis in range(3):
+        win = [1, 1, 1]
+        win[axis] = 3
+        x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, tuple(win),
+                                  (1, 1, 1), "SAME")
+    return x
+
+
+def refresh_occ(grid, cfg: OccGridConfig):
+    """Recompute the sampled occupancy field from the density EMA:
+    threshold, then dilate by one voxel.  Dilation is the conservative
+    answer to candidate-bin aliasing — ``occupancy_along_rays`` tests one
+    midpoint per bin, and a bin slightly longer than a voxel can midpoint-
+    test the empty neighbor of a thin occupied structure (the convergence
+    fixture's ground slab is ~5 voxels thick at 128^3) and starve it."""
+    occ = (grid["density"] > cfg.threshold).astype(jnp.float32)
+    return {**grid, "occ": _dilate_max3(occ)}
 
 
 def _voxel_index(grid, pts, g: int):
@@ -76,20 +107,39 @@ def _voxel_index(grid, pts, g: int):
 
 def update_grid(grid, pts: jnp.ndarray, sigma: jnp.ndarray,
                 cfg: OccGridConfig):
-    """EMA-decay the grid, then scatter-max the (activated, detached)
-    densities observed at ``pts`` into their voxels.
+    """Blend VISITED voxels toward this step's per-cell max observation
+    (mean-EMA), then refresh the dilated occupancy field.
+
+    Visited-only: a voxel's EMA advances only when this step carries a
+    fresh observation for it.  Global decay starves voxels between
+    revisits (guided sampling revisits each occupied voxel rarely on
+    large scenes), flipping real geometry to empty faster than floor
+    samples can rediscover it.  Mean-EMA (not scatter-max-keep-max): a
+    transient density hallucination — observed mid-training to flip 40%
+    of the grid occupied in under 1k steps — enters at weight (1-decay)
+    and clears in ~log(thr/spike)/log(decay) fresh observations (~25 at
+    0.7) instead of ~85 under max-EMA, while a persistently-occupied
+    voxel's EMA stays pinned near its true density.  Stale-occupied
+    voxels self-correct: being marked occupied, they keep receiving
+    guided samples, so they ARE visited and blend toward fresh (low)
+    observations.  Never-visited voxels keep the optimistic init —
+    uniform-equivalent sampling there.
 
     pts: [..., 3]; sigma: [...] (post-activation, e.g. relu'd raw sigma).
-    Out-of-bounds points are dropped.  One fused scatter per step — cheap
-    next to the MLP evals that produced sigma.
+    Out-of-bounds points are dropped.  One fused scatter + a separable
+    max-pool per step — cheap next to the MLP evals that produced sigma.
     """
     g = cfg.resolution
     sigma = jax.lax.stop_gradient(sigma).reshape(-1)
     flat, inb = _voxel_index(grid, jax.lax.stop_gradient(pts).reshape(-1, 3), g)
-    contrib = jnp.where(inb.reshape(-1), sigma, -jnp.inf)
-    dens = (grid["density"] * cfg.decay).reshape(-1)
-    dens = dens.at[flat].max(contrib)
-    return {**grid, "density": dens.reshape(g, g, g)}
+    inb = inb.reshape(-1)
+    contrib = jnp.where(inb, sigma, -jnp.inf)
+    dens = grid["density"].reshape(-1)
+    obs = jnp.full_like(dens, -jnp.inf).at[flat].max(contrib)
+    visited = obs > -jnp.inf
+    blended = cfg.decay * dens + (1.0 - cfg.decay) * jnp.maximum(obs, 0.0)
+    dens = jnp.where(visited, blended, dens)
+    return refresh_occ({**grid, "density": dens.reshape(g, g, g)}, cfg)
 
 
 def occupancy_along_rays(grid, rays_o, rays_d, near, far, m: int,
@@ -104,9 +154,8 @@ def occupancy_along_rays(grid, rays_o, rays_d, near, far, m: int,
     mids = 0.5 * (edges[..., 1:] + edges[..., :-1])          # [R, M]
     pts = rays_o[:, None, :] + rays_d[:, None, :] * mids[..., None]
     flat, inb = _voxel_index(grid, pts, cfg.resolution)
-    dens = grid["density"].reshape(-1)[flat]                 # [R, M]
-    occ = ((dens > cfg.threshold) & inb).astype(jnp.float32)
-    return edges, occ
+    occ = grid["occ"].reshape(-1)[flat]                      # [R, M]
+    return edges, occ * inb.astype(jnp.float32)
 
 
 def occ_guided_z_vals(grid, rays_o, rays_d, near, far, n_samples: int,

@@ -92,8 +92,11 @@ _SLAB_Z = (-0.55, -0.38)        # thin ground slab (tests sharp boundaries)
 _SLAB_R = 1.6                    # slab extent |x|,|y| < R
 
 
-def _scene_sigma_rgb(pts: np.ndarray, density: float):
-    """Density + albedo of the multi-object scene at points [..., 3]."""
+def _scene_sigma_rgb(pts: np.ndarray, density: float, slab: bool = True):
+    """Density + albedo of the multi-object scene at points [..., 3].
+    ``slab=False`` drops the ground slab — an object-centric scene whose
+    rays are mostly empty space (the regime empty-space skipping targets;
+    real blender scenes are ~90% empty along a ray)."""
     sigma = np.zeros(pts.shape[:-1], np.float32)
     rgb = np.zeros(pts.shape[:-1] + (3,), np.float32)
     for (c, r, a) in _SCENE_SPHERES:
@@ -101,6 +104,8 @@ def _scene_sigma_rgb(pts: np.ndarray, density: float):
                   < r)
         sigma = np.where(inside, density, sigma)
         rgb = np.where(inside[..., None], np.asarray(a, np.float32), rgb)
+    if not slab:
+        return sigma, rgb
     z = pts[..., 2]
     slab = ((z > _SLAB_Z[0]) & (z < _SLAB_Z[1])
             & (np.abs(pts[..., 0]) < _SLAB_R)
@@ -119,6 +124,7 @@ def render_scene_image(
     c2w: np.ndarray, H: int, W: int, focal: float,
     density: float = 80.0, near: float = 2.0, far: float = 6.0,
     n_march: int = 512, white_bkgd: bool = True, row_chunk: int = 16,
+    slab: bool = True,
 ):
     """Numpy volume render of the multi-object scene.  Returns
     (rgb [H,W,3], depth [H,W]) where depth is the expected termination
@@ -138,7 +144,7 @@ def render_scene_image(
         r1 = min(H, r0 + row_chunk)
         pts = (rays_o[r0:r1, :, None, :]
                + rays_d[r0:r1, :, None, :] * t[:, None])
-        sigma, rgb = _scene_sigma_rgb(pts, density)
+        sigma, rgb = _scene_sigma_rgb(pts, density, slab=slab)
         dt = (far - near) / (n_march - 1) * np.linalg.norm(
             rays_d[r0:r1], axis=-1)[..., None]
         alpha = 1 - np.exp(-sigma * dt)
@@ -159,6 +165,7 @@ def render_scene_image(
 def make_multi_object_dataset(
     n_train: int = 30, n_test: int = 6, H: int = 160, W: int = 160,
     seed: int = 0, density: float = 80.0, cache_dir: str | None = None,
+    slab: bool = True,
 ):
     """Train/test splits of the multi-object scene with GT depth maps.
     Returns dict(images, poses, depths, hwf, K, i_split, near, far).
@@ -166,7 +173,8 @@ def make_multi_object_dataset(
     import os
 
     focal = 0.5 * W / np.tan(0.25)
-    key = f"mobj_{n_train}_{n_test}_{H}x{W}_{seed}_{density:g}"
+    key = (f"mobj_{n_train}_{n_test}_{H}x{W}_{seed}_{density:g}"
+           + ("" if slab else "_noslab"))
     cache = os.path.join(cache_dir, key + ".npz") if cache_dir else None
     if cache and os.path.exists(cache):
         z = np.load(cache)
@@ -183,7 +191,8 @@ def make_multi_object_dataset(
     ]).astype(np.float32)
     images, depths = [], []
     for p in poses:
-        rgb, d = render_scene_image(p, H, W, focal, density=density)
+        rgb, d = render_scene_image(p, H, W, focal, density=density,
+                                    slab=slab)
         images.append(rgb)
         depths.append(d)
     images = np.stack(images)

@@ -40,7 +40,8 @@ _IMAGE_KEYS = ("rgb_map", "disp_map", "acc_map", "depth_map", "rgb0", "depth0")
 
 def _render_flat_local(params_c, params_f, rays, key,
                        mcfg: ModelConfig, rcfg: RenderConfig, chunk: int,
-                       keep_hyp: bool, cam_embedding=None, mcfg_fine=None):
+                       keep_hyp: bool, cam_embedding=None, mcfg_fine=None,
+                       occ_grid=None):
     """rays: [n_chunks*chunk, 8|11] (already padded).  lax.map over chunks —
     one compiled body reused for every chunk, no host round trips."""
     n_chunks = rays.shape[0] // chunk
@@ -51,7 +52,7 @@ def _render_flat_local(params_c, params_f, rays, key,
         rb, k = args
         ret = render.render_rays(params_c, params_f, rb, k, mcfg, rcfg,
                                  cam_embedding=cam_embedding,
-                                 mcfg_fine=mcfg_fine)
+                                 mcfg_fine=mcfg_fine, occ_grid=occ_grid)
         keep = {k_: v for k_, v in ret.items() if k_ in _IMAGE_KEYS}
         if keep_hyp and "pred_hyp" in ret:
             keep["pred_hyp"] = ret["pred_hyp"]
@@ -67,21 +68,23 @@ def _render_flat_local(params_c, params_f, rays, key,
          static_argnames=("mcfg", "rcfg", "chunk", "keep_hyp", "mcfg_fine"))
 def _render_flat(params_c, params_f, rays, key, mcfg: ModelConfig,
                  rcfg: RenderConfig, chunk: int, keep_hyp: bool,
-                 cam_embedding=None, mcfg_fine=None):
+                 cam_embedding=None, mcfg_fine=None, occ_grid=None):
     return _render_flat_local(params_c, params_f, rays, key, mcfg, rcfg,
-                              chunk, keep_hyp, cam_embedding, mcfg_fine)
+                              chunk, keep_hyp, cam_embedding, mcfg_fine,
+                              occ_grid)
 
 
 _SHARDED_RENDER_CACHE: dict = {}
 
 
 def _sharded_render(mesh, mcfg, rcfg, chunk, keep_hyp, has_fine, has_cam,
-                    mcfg_fine):
+                    mcfg_fine, has_occ=False):
     """shard_map'd renderer: each chip runs the chunk loop on ITS slice of
     the ray axis (a plain lax.map over a sharded axis would force an
     all-gather and replicate the whole render on every chip — verified
     empirically)."""
-    key_ = (mesh, mcfg, rcfg, chunk, keep_hyp, has_fine, has_cam, mcfg_fine)
+    key_ = (mesh, mcfg, rcfg, chunk, keep_hyp, has_fine, has_cam, mcfg_fine,
+            has_occ)
     if key_ in _SHARDED_RENDER_CACHE:
         return _SHARDED_RENDER_CACHE[key_]
 
@@ -89,16 +92,17 @@ def _sharded_render(mesh, mcfg, rcfg, chunk, keep_hyp, has_fine, has_cam,
     repl = P()
     shrd = P(pmesh.DATA_AXIS)
 
-    def local(params_c, params_f, rays, key, cam_embedding):
+    def local(params_c, params_f, rays, key, cam_embedding, occ_grid):
         # decorrelate per-chunk rng across chips
         key = jax.random.fold_in(key, jax.lax.axis_index(pmesh.DATA_AXIS))
         return _render_flat_local(
             params_c, params_f, rays, key, mcfg, rcfg, chunk, keep_hyp,
-            cam_embedding if has_cam else None, mcfg_fine)
+            cam_embedding if has_cam else None, mcfg_fine,
+            occ_grid if has_occ else None)
 
     fn = jax.jit(jax.shard_map(
         local, mesh=mesh,
-        in_specs=(repl, repl, shrd, repl, repl),
+        in_specs=(repl, repl, shrd, repl, repl, repl),
         out_specs=shrd,
         check_vma=False,
     ))
@@ -125,8 +129,14 @@ def render_image(
     pixel_center: bool = False,
     cam_embedding=None,
     mcfg_fine: Optional[ModelConfig] = None,
+    occ_grid=None,
 ) -> Dict[str, np.ndarray]:
     """Render one full image; returns numpy maps shaped [H, W, ...].
+
+    ``occ_grid``: trained occupancy grid — REQUIRED when ``rcfg.occ`` is
+    set, so eval places coarse samples by the same grid guidance the model
+    was trained under (a uniform-sampling eval of an occ-trained coarse
+    network evaluates it in empty space it never trained on).
 
     ``render_factor`` downsamples H/W/focal for fast previews
     (reference render_path, run_plnerf.py:180-186).  ``mesh`` shards the
@@ -161,20 +171,30 @@ def render_image(
     total = pmesh.pad_to_multiple(n, chunk * n_dev)
     packed = jnp.pad(packed, ((0, total - n), (0, 0)))
 
+    if rcfg.occ is not None and occ_grid is None:
+        raise ValueError("rcfg.occ is set but no occ_grid was passed to "
+                         "render_image — occ-trained models must be "
+                         "evaluated with grid-guided sampling")
     if mesh is not None:
         packed = jax.device_put(packed, pmesh.batch_sharded(mesh))
         params_c = pmesh.replicate(params_c, mesh)
         if params_f is not None:
             params_f = pmesh.replicate(params_f, mesh)
+        if occ_grid is not None:
+            occ_grid = pmesh.replicate(occ_grid, mesh)
         fn = _sharded_render(mesh, mcfg, rcfg, chunk, keep_hyp,
                              params_f is not None,
-                             cam_embedding is not None, mcfg_fine)
+                             cam_embedding is not None, mcfg_fine,
+                             occ_grid is not None)
         out = fn(params_c, params_f, packed, key,
                  cam_embedding if cam_embedding is not None
+                 else jnp.zeros((1,), jnp.float32),
+                 occ_grid if occ_grid is not None
                  else jnp.zeros((1,), jnp.float32))
     else:
         out = _render_flat(params_c, params_f, packed, key, mcfg, rcfg,
-                           chunk, keep_hyp, cam_embedding, mcfg_fine)
+                           chunk, keep_hyp, cam_embedding, mcfg_fine,
+                           occ_grid)
     out = jax.tree.map(lambda x: np.asarray(x[:n]), out)
     return {
         k: v.reshape(H, W, *v.shape[1:]) for k, v in out.items()
@@ -211,6 +231,7 @@ def render_images_with_metrics(
     pixel_center: bool = False,
     cam_embeddings=None,
     mcfg_fine: Optional[ModelConfig] = None,
+    occ_grid=None,
 ):
     """Render ``count`` (or all) held-out views and aggregate metrics.
     ``cam_embeddings``: optional dict {img_idx: embedding} (test-time
@@ -257,7 +278,7 @@ def render_images_with_metrics(
             pixel_center=pixel_center,
             cam_embedding=(None if cam_embeddings is None
                            else cam_embeddings.get(int(img_idx))),
-            mcfg_fine=mcfg_fine,
+            mcfg_fine=mcfg_fine, occ_grid=occ_grid,
         )
         rgb = np.clip(out["rgb_map"], 0.0, 1.0)
         img_loss = float(np.mean((out["rgb_map"] - target) ** 2))
@@ -325,6 +346,7 @@ def test_images_samples(
     pixel_center: bool = False, mcfg_fine: Optional[ModelConfig] = None,
     valid_mask_from_dataset: bool = False,
     metrics_filename: str = "metrics_expecteddepth.txt",
+    occ_grid=None,
 ):
     """Importance-sampling-error eval (reference run_plnerf.py:218-282):
     mean L2 distance between each predicted termination quantile
@@ -351,6 +373,7 @@ def test_images_samples(
             K_i, mcfg, rcfg, jax.random.PRNGKey(seed + n),
             near=dataset.near, far=dataset.far, chunk=chunk, mesh=mesh,
             keep_hyp=True, pixel_center=pixel_center, mcfg_fine=mcfg_fine,
+            occ_grid=occ_grid,
         )
         dists = np.abs(out["pred_hyp"] - out["depth_map"][..., None])
         # depth script masks by valid depth before averaging
@@ -401,7 +424,7 @@ def render_path(
     rcfg: RenderConfig, near: float, far: float, chunk: int = 32768,
     savedir: Optional[str] = None, render_factor: int = 0, mesh=None,
     ndc: bool = False, verbose: bool = True, pixel_center: bool = False,
-    mcfg_fine: Optional[ModelConfig] = None,
+    mcfg_fine: Optional[ModelConfig] = None, occ_grid=None,
 ):
     """Render a camera path; returns (rgbs [N,H,W,3], disps [N,H,W],
     depths [N,H,W]).  Writes per-frame pngs when ``savedir`` given
@@ -415,6 +438,7 @@ def render_path(
             jax.random.PRNGKey(i), near=near, far=far, chunk=chunk,
             mesh=mesh, render_factor=render_factor, ndc=ndc,
             pixel_center=pixel_center, mcfg_fine=mcfg_fine,
+            occ_grid=occ_grid,
         )
         rgbs.append(out["rgb_map"])
         disps.append(out["disp_map"])

@@ -105,12 +105,13 @@ def build_ray_pool(images: np.ndarray, poses: np.ndarray, K, i_train,
     training images (reference run_plnerf.py:1199-1221).
 
     Stated deviation: the reference consumes EVERY pool ray each epoch,
-    ending with one short batch before reshuffling (run_plnerf.py:1244-1248);
-    the TPU driver reshuffles once fewer than ``n_rand * steps_per_dispatch``
-    rays remain, dropping up to that many tail rays per epoch.  A short
+    ending with one short batch before reshuffling (run_plnerf.py:1244-1248).
+    The TPU driver consumes the epoch tail with full-``n_rand`` remainder
+    steps (single-step dispatches) and reshuffles once fewer than ``n_rand``
+    rays remain, skipping only that sub-batch remainder (< 1024 of millions
+    of i.i.d.-shuffled rays per epoch — statistically neutral).  A short
     final batch would change the ray-batch shape and force a second jit
-    cache per phase; with the 160k-ray chair pool and n_rand=1024 the tail
-    is < 2.6% of an epoch of i.i.d.-shuffled rays — statistically neutral.
+    cache per phase.
     """
     rows = []
     for i in np.asarray(i_train):

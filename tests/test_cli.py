@@ -299,6 +299,29 @@ def test_steps_per_dispatch_exact_count(scene_dir, tmp_path):
     assert int(sd["step"]) == 23
 
 
+def test_pool_epoch_tail_consumed(scene_dir, tmp_path):
+    """Pool (use_batching) mode must consume the epoch tail with full-batch
+    remainder steps before reshuffling (reference consumes every ray,
+    run_plnerf.py:1244-1248): pool = 3*32*32 = 3072 rays, N_rand=80 ->
+    38 full batches/epoch; dispatch windows of 8 leave a 6-step remainder
+    window at the epoch boundary, then reshuffle.  50 iters cross it."""
+    import flax.serialization as fser
+
+    data_dir, scene_id = scene_dir
+    ckpt_dir = str(tmp_path / "ptck")
+    args = [a for a in TINY if a != "--no_batching"]
+    args[args.index("64")] = "80"  # --N_rand value
+    plnerf_main(args + [
+        "--task", "train", "--mode", "constant",
+        "--steps_per_dispatch", "8", "--num_iterations", "50",
+        "--i_weights", "50", "--data_dir", data_dir,
+        "--scene_id", scene_id, "--ckpt_dir", ckpt_dir, "--expname", "pt",
+    ])
+    with open(os.path.join(ckpt_dir, "pt", "000050.ckpt"), "rb") as f:
+        sd = fser.msgpack_restore(f.read())
+    assert int(sd["step"]) == 50
+
+
 def test_train_occ_grid_cli(scene_dir, tmp_path):
     """--occ_grid end to end: warmup phase (uniform) then grid-guided
     steps, crossing the warmup boundary inside the run; fused dispatch."""
@@ -318,3 +341,14 @@ def test_train_occ_grid_cli(scene_dir, tmp_path):
     log = [json.loads(l) for l in
            open(os.path.join(exp, "metrics.jsonl"))]
     assert all(np.isfinite(r["train/loss"]) for r in log if "train/loss" in r)
+
+    # the trained grid is saved as a sidecar next to the checkpoint, and
+    # the standalone test task restores it and evaluates with grid-guided
+    # sampling (train/eval sample distributions must match)
+    assert os.path.exists(os.path.join(exp, "000014.occ"))
+    plnerf_main([
+        "--task", "test", "--ckpt_dir", ckpt_dir, "--expname", "exp_occ",
+        "--data_dir", data_dir, "--scene_id", scene_id, "--white_bkgd",
+    ])
+    test_dir = os.path.join(exp, f"test_images_linear_8_8{scene_id}")
+    assert os.path.exists(os.path.join(test_dir, "metrics.txt"))

@@ -43,15 +43,15 @@ class DS:
     pass
 
 
-def build_dataset(tiny):
+def build_dataset(tiny, slab=True):
     from plnerf.data.synthetic import make_multi_object_dataset
 
     if tiny:
         d = make_multi_object_dataset(n_train=6, n_test=2, H=48, W=48,
-                                      cache_dir=CACHE)
+                                      cache_dir=CACHE, slab=slab)
     else:
         d = make_multi_object_dataset(n_train=30, n_test=6, H=160, W=160,
-                                      cache_dir=CACHE)
+                                      cache_dir=CACHE, slab=slab)
     ds = DS()
     ds.images = d["images"]
     ds.poses = d["poses"]
@@ -70,13 +70,16 @@ def build_dataset(tiny):
 
 
 def eval_test(state, ds, mcfg, rcfg, n_views, seed, pixel_center=False,
-              chunk=8192):
+              chunk=8192, occ=None):
     from plnerf.eval import images as EI
 
+    occ_cfg, occ_grid = occ if occ is not None else (None, None)
     mm, _ = EI.render_images_with_metrics(
         state.params_coarse, state.params_fine, ds,
-        list(ds.i_test[:n_views]), mcfg, EI.test_render_config(rcfg),
-        chunk=chunk, verbose=False, seed=seed, pixel_center=pixel_center)
+        list(ds.i_test[:n_views]), mcfg,
+        EI.test_render_config(rcfg, occ=occ_cfg),
+        chunk=chunk, verbose=False, seed=seed, pixel_center=pixel_center,
+        occ_grid=occ_grid)
     out = {"psnr": round(float(mm.get("psnr")), 2),
            "ssim": round(float(mm.get("ssim")), 4)}
     if mm.has("depth_rmse"):
@@ -84,10 +87,12 @@ def eval_test(state, ds, mcfg, rcfg, n_views, seed, pixel_center=False,
     return out
 
 
-def run_nvs(mode, iters, tiny):
+def run_nvs(mode, iters, tiny, slab=True):
     """mode: constant | linear | occ (linear recipe with occupancy-grid
     guided coarse sampling, 32 guided + 64 importance — the quality half
-    of the occ-grid >=2x claim; throughput half lives in bench.py)."""
+    of the occ-grid >=2x claim; throughput half lives in bench.py).
+    Occ-trained models are EVALUATED with the grid too (train/eval sample
+    distributions must match, see eval/images.render_image)."""
     import jax
     import jax.numpy as jnp
 
@@ -98,7 +103,8 @@ def run_nvs(mode, iters, tiny):
 
     use_occ = mode == "occ"
     qmode = "linear" if use_occ else mode
-    ds = build_dataset(tiny)
+    tag = mode if slab else mode + "-sparse"
+    ds = build_dataset(tiny, slab=slab)
     mcfg = (ModelConfig(netdepth=4, netwidth=64, skips=(2,), multires=6,
                         multires_views=2) if tiny else ModelConfig())
     ns, ni = ((32, 16) if tiny else
@@ -169,14 +175,20 @@ def run_nvs(mode, iters, tiny):
         train_psnr = float(metrics["psnr"])
         if done % 1000 == 0 or done >= iters:
             st = carry[0] if occ_engaged else carry
-            ev = eval_test(st, ds, mcfg, rcfg, n_views=2, seed=done)
-            emit({"run": mode, "iter": done,
+            occ = (occ_cfg, carry[1]) if occ_engaged else None
+            ev = eval_test(st, ds, mcfg, rcfg, n_views=2, seed=done,
+                           occ=occ)
+            if occ_engaged:  # grid health: fraction of sampled-occupied
+                ev["occ_frac"] = round(
+                    float(jnp.mean(carry[1]["occ"])), 4)
+            emit({"run": tag, "iter": done,
                   "train_psnr": round(train_psnr, 2), **ev,
                   "elapsed_s": round(time.time() - t0, 1)})
     state = carry[0] if occ_engaged else carry
+    occ = (occ_cfg, carry[1]) if occ_engaged else None
     final = eval_test(state, ds, mcfg, rcfg, n_views=len(ds.i_test),
-                      seed=999)
-    emit({"run": mode, "iter": done, "final": True, **final,
+                      seed=999, occ=occ)
+    emit({"run": tag, "iter": done, "final": True, **final,
           "elapsed_s": round(time.time() - t0, 1)})
 
 
@@ -244,15 +256,20 @@ def main():
                     choices=["constant", "linear", "depth", "occ", "all"])
     ap.add_argument("--iters", type=int, default=8000)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--scene", default="slab", choices=["slab", "sparse"],
+                    help="slab: spheres + checkered ground slab; sparse: "
+                         "spheres only (object-centric, mostly empty rays "
+                         "— the empty-space-skipping regime)")
     args = ap.parse_args()
 
+    slab = args.scene == "slab"
     modes = ([args.mode] if args.mode != "all"
              else ["constant", "linear", "depth"])
     for m in modes:
         if m == "depth":
             run_depth(args.iters, args.tiny)
         else:
-            run_nvs(m, args.iters, args.tiny)
+            run_nvs(m, args.iters, args.tiny, slab=slab)
 
 
 if __name__ == "__main__":
