@@ -27,12 +27,22 @@ fixes (bf16 dot outputs + bf16 stored activations, masked-sum gathers)
 the full training step runs 113.6 ms/step XLA vs 120.4 ms/step with this
 kernel pair at 8192 rays — XLA's fusions are already near-parity, so the
 kernel stays OPT-IN (``RenderConfig.use_pallas_mlp`` / ``--use_pallas``).
-Isolated (786k points, bf16): fwd 14.6 ms vs XLA 12.5; fused fwd+bwd
-28.0 ms (the backward kernel itself is cheaper than the forward).  Note
-the standalone XLA fwd+bwd at this size hits a jellyfish-regalloc
-RET_CHECK compiler bug that the Pallas pair avoids.
-fp32 tiles >= 2048 exceed the per-kernel VMEM budget; use tile <= 1024;
-the bf16 backward at tile 1024 also exceeds it.
+
+Round-2 characterization at flagship scale (2.63M points, bf16,
+tools/bench_kernel.py): XLA fwd 63.0 ms; Pallas fwd 64.3 ms; Pallas
+fwd+bwd pair 108.1 ms vs the XLA step's MLP portion ~87 ms.  The kernel
+eliminates ~40x of HBM activation traffic yet does not win, because it
+sits at a Mosaic matmul-throughput wall (~52 TFLOP/s = ~26% of bf16
+peak, where XLA's own matmul kernels sustain 88-98 TFLOP/s through the
+same chip): forward time is INVARIANT to tile size (512/1024/2048 all
+64-67 ms) and to interleaving two independent layer chains per tile
+(_ILV=2 measured slower, 69.1 ms), ruling out per-dot overhead and
+result-latency stalls — the per-dot lowering itself is the bound.
+Mosaic constraints hit on the way: matmul accumulators must be 32-bit
+(no bf16 preferred_element_type), and bf16 comparisons are rejected
+(masks compare in f32).  Recompute lists are stored bf16 (numerically
+identical — the next matmul casts operands to bf16 anyway), which lets
+the bf16 backward fit tile 1024.  fp32 tiles >= 2048 exceed VMEM.
 """
 from __future__ import annotations
 
@@ -48,6 +58,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.config import ModelConfig
 
 LANE = 128
+# Independent sub-blocks interleaved per forward tile.  Measured on v5e:
+# 2 is SLOWER than 1 (69.1 vs 64.3 ms fwd at 2.63M pts) — the serial
+# layer chain's result latency is not what bounds the kernel, so the
+# interleave only adds register pressure.  Kept as a documented knob.
+_ILV = 1
 
 
 def _rup(x: int, m: int = LANE) -> int:
@@ -119,7 +134,14 @@ def _kernel(cfg: ModelConfig, n_pts_layers: int, dtype,
     wrefs = refs[:-1]
 
     # fp32 path matches the XLA path's Precision.HIGHEST (true fp32
-    # matmuls); bf16 uses fast MXU-native passes with fp32 accumulation.
+    # matmuls); bf16 uses fast MXU-native passes with fp32 accumulation
+    # (Mosaic requires a 32-bit matmul accumulator — bf16 dot outputs are
+    # rejected at verification).  The tile is split into ``_ILV``
+    # independent sub-blocks whose layer chains are interleaved: a single
+    # chain is strictly serial (each dot consumes the previous dot's
+    # output), which leaves the MXU idle for the result latency of every
+    # dot; interleaved chains give the scheduler independent matmuls to
+    # overlap with.
     precision = (jax.lax.Precision.HIGHEST
                  if dtype == jnp.float32 else None)
 
@@ -134,26 +156,36 @@ def _kernel(cfg: ModelConfig, n_pts_layers: int, dtype,
             + b_ref[:]
         )
 
-    x = x_ref[:]
-    h = x
+    T = x_ref.shape[0]
+    n_blk = _ILV if T % _ILV == 0 else 1
+    blk = T // n_blk
+    xs = [x_ref[k * blk:(k + 1) * blk] for k in range(n_blk)]
+    hs = list(xs)
     ri = 0
     for i in range(n_pts_layers):
-        h = jnp.maximum(dot(h, wrefs[ri], wrefs[ri + 1]), 0.0)
+        hs = [jnp.maximum(dot(h, wrefs[ri], wrefs[ri + 1]), 0.0)
+              for h in hs]
         ri += 2
         if i in cfg.skips:
-            h = jnp.concatenate([x.astype(jnp.float32), h], axis=-1)
+            hs = [jnp.concatenate([x.astype(jnp.float32), h], axis=-1)
+                  for x, h in zip(xs, hs)]
 
     if cfg.use_viewdirs:
-        alpha = dot(h, wrefs[ri], wrefs[ri + 1])          # [T, 128], col 0
-        feature = dot(h, wrefs[ri + 2], wrefs[ri + 3])    # [T, w_p]
-        hv = jnp.concatenate([feature, v_ref[:].astype(jnp.float32)], -1)
-        hv = jnp.maximum(dot(hv, wrefs[ri + 4], wrefs[ri + 5]), 0.0)
-        rgb = dot(hv, wrefs[ri + 6], wrefs[ri + 7])       # [T, 128]
-        out = jnp.concatenate(
-            [rgb[:, :LANE - 1], alpha[:, 0:1]], axis=-1
-        )
+        vs = [v_ref[k * blk:(k + 1) * blk] for k in range(n_blk)]
+        alphas = [dot(h, wrefs[ri], wrefs[ri + 1]) for h in hs]
+        feats = [dot(h, wrefs[ri + 2], wrefs[ri + 3]) for h in hs]
+        hvs = [jnp.concatenate([f, v.astype(jnp.float32)], -1)
+               for f, v in zip(feats, vs)]
+        hvs = [jnp.maximum(dot(hv, wrefs[ri + 4], wrefs[ri + 5]), 0.0)
+               for hv in hvs]
+        rgbs = [dot(hv, wrefs[ri + 6], wrefs[ri + 7]) for hv in hvs]
+        out = jnp.concatenate([
+            jnp.concatenate([rgb[:, :LANE - 1], alpha[:, 0:1]], axis=-1)
+            for rgb, alpha in zip(rgbs, alphas)
+        ], axis=0)
     else:
-        out = dot(h, wrefs[ri], wrefs[ri + 1])
+        out = jnp.concatenate(
+            [dot(h, wrefs[ri], wrefs[ri + 1]) for h in hs], axis=0)
     out_ref[:] = out
 
 
@@ -245,6 +277,11 @@ def _bwd_kernel(cfg: ModelConfig, n_layers: int, dtype, in_p, w_p, v_p, h_p,
 
     precision = (jax.lax.Precision.HIGHEST
                  if dtype == jnp.float32 else None)
+    # Matmul outputs are f32 (Mosaic requires a 32-bit accumulator), but
+    # the recomputed activations are STORED in the compute dtype: the next
+    # matmul casts its operands to ``dtype`` anyway, so bf16 storage is
+    # numerically identical and halves the recompute lists' VMEM.
+    act = dtype if dtype == jnp.bfloat16 else jnp.float32
 
     def mm(a, b):                     # [T,K] @ [K,M]
         return jax.lax.dot_general(
@@ -274,14 +311,15 @@ def _bwd_kernel(cfg: ModelConfig, n_layers: int, dtype, in_p, w_p, v_p, h_p,
         grad_refs[idx + 1][...] += db.reshape(1, -1)
 
     # ---- forward recompute, keeping per-layer inputs & relu outputs ----
-    x = x_ref[:].astype(jnp.float32)
-    v = v_ref[:].astype(jnp.float32)
+    x = x_ref[:].astype(act)
+    v = v_ref[:].astype(act)
     inputs, relus = [], []
     h = x
     for i in range(n_layers):
         inputs.append(h)
         r = jnp.maximum(
-            mm(h, wrefs[2 * i][:]) + wrefs[2 * i + 1][:], 0.0)
+            mm(h, wrefs[2 * i][:]) + wrefs[2 * i + 1][:], 0.0
+        ).astype(act)
         relus.append(r)
         h = jnp.concatenate([x, r], axis=-1) if i in cfg.skips else r
 
@@ -289,9 +327,9 @@ def _bwd_kernel(cfg: ModelConfig, n_layers: int, dtype, in_p, w_p, v_p, h_p,
     wa, wf = wrefs[ri][:], wrefs[ri + 2][:]
     wv, wr = wrefs[ri + 4][:], wrefs[ri + 6][:]
     h_last = h
-    feature = mm(h_last, wf) + wrefs[ri + 3][:]
+    feature = (mm(h_last, wf) + wrefs[ri + 3][:]).astype(act)
     hv_in = jnp.concatenate([feature, v], axis=-1)
-    z = jnp.maximum(mm(hv_in, wv) + wrefs[ri + 5][:], 0.0)
+    z = jnp.maximum(mm(hv_in, wv) + wrefs[ri + 5][:], 0.0).astype(act)
 
     # ---- backward ----
     g = g_ref[:].astype(jnp.float32)           # [T, 128]
@@ -301,7 +339,8 @@ def _bwd_kernel(cfg: ModelConfig, n_layers: int, dtype, in_p, w_p, v_p, h_p,
 
     acc(ri + 6, mm_tn(z, d_rgb), jnp.sum(d_rgb, axis=0))      # dWr, dbr
     dz = mm_nt(d_rgb, wr)
-    da_v = jnp.where(z > 0.0, dz, 0.0)
+    # masks compare in f32: the target rejects bf16 comparisons
+    da_v = jnp.where(z.astype(jnp.float32) > 0.0, dz, 0.0)
     acc(ri + 4, mm_tn(hv_in, da_v), jnp.sum(da_v, axis=0))    # dWv, dbv
     dhv = mm_nt(da_v, wv)
     dfeat = dhv[:, :w_p]
@@ -311,14 +350,14 @@ def _bwd_kernel(cfg: ModelConfig, n_layers: int, dtype, in_p, w_p, v_p, h_p,
     acc(ri, mm_tn(h_last, d_alpha), jnp.sum(d_alpha, axis=0))  # dWa, dba
     dh = mm_nt(dfeat, wf) + mm_nt(d_alpha, wa)
 
-    dx = jnp.zeros_like(x)
+    dx = jnp.zeros((x.shape[0], x.shape[1]), jnp.float32)
     for i in range(n_layers - 1, -1, -1):
         if i in cfg.skips:
             dx += dh[:, :in_p]
             dr = dh[:, in_p:]
         else:
             dr = dh
-        da = jnp.where(relus[i] > 0.0, dr, 0.0)
+        da = jnp.where(relus[i].astype(jnp.float32) > 0.0, dr, 0.0)
         acc(2 * i, mm_tn(inputs[i], da), jnp.sum(da, axis=0))
         dh = mm_nt(da, wrefs[2 * i][:])
     dx += dh

@@ -75,6 +75,40 @@ def test_gradient_parity():
     )
 
 
+def test_bf16_forward_and_grad_close_to_xla_bf16():
+    """bf16 mode keeps HIDDEN activations bf16 inside the kernel exactly
+    like the XLA path (core/mlp._dense out_dtype) — outputs and grads must
+    track the XLA bf16 path within bf16 rounding slack."""
+    mcfg = ModelConfig(netdepth=4, netwidth=64, skips=(2,), multires=4,
+                       multires_views=2)
+    params = mlp.init_nerf_params(jax.random.PRNGKey(0), mcfg)
+    pe, ve = _inputs(jax.random.PRNGKey(1), 96, mcfg)
+
+    ref = mlp.apply_mlp(params, pe, ve, mcfg, jnp.bfloat16)
+    got = fused_mlp.apply(params, pe, ve, mcfg, jnp.bfloat16, tile=128,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-2, rtol=3e-2)
+
+    def loss_ref(p):
+        return jnp.sum(mlp.apply_mlp(p, pe, ve, mcfg, jnp.bfloat16) ** 2)
+
+    def loss_pallas(p):
+        return jnp.sum(fused_mlp.apply(p, pe, ve, mcfg, jnp.bfloat16,
+                                       tile=128, interpret=True) ** 2)
+
+    g_ref = jax.grad(loss_ref)(params)
+    g_pal = jax.grad(loss_pallas)(params)
+
+    def close(a, b):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        denom = max(np.abs(a).max(), np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / denom < 0.05, (
+            np.abs(a - b).max(), denom)
+
+    jax.tree.map(close, g_ref, g_pal)
+
+
 def test_render_rays_with_pallas_flag():
     """End-to-end: render_rays with use_pallas_mlp matches the XLA path."""
     import dataclasses
