@@ -91,6 +91,54 @@ def test_sharded_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
+def test_sharded_occ_step_matches_single_device():
+    """Occ-grid train step under GSPMD (replicated grid, rays sharded):
+    loss, params and the updated grid must match single-device — the
+    per-cell max observation commutes across chips and the mean-EMA
+    blend is elementwise on the replicated grid (core/occgrid.py claims
+    GSPMD-safety; this is the proof)."""
+    from plnerf.core import occgrid as og
+
+    images, poses, hwf, K = make_sphere_dataset(n_views=4, H=24, W=24)
+    occ_cfg = og.OccGridConfig(resolution=16, candidates=32)
+    rcfg = RenderConfig(n_samples=16, n_importance=16, mode="linear",
+                        white_bkgd=True, perturb=False, occ=occ_cfg)
+    setup = train_step.TrainSetup(mcfg=SMALL_MODEL, rcfg=rcfg)
+    stepf = train_step.make_occ_train_step(setup)
+
+    rays, target, _ = batching.sample_one_image_batch(
+        jnp.asarray(images), jnp.asarray(poses), K,
+        jnp.arange(images.shape[0]), jax.random.key(2), 256, 2.0, 6.0,
+        True,
+    )
+    batch = {"rays": rays, "target": target}
+    ks = jax.random.key(3)
+
+    state_a, grid_a, metrics_a = stepf(
+        train_step.init_state(jax.random.key(0), setup),
+        og.init_grid([-1.5] * 3, [1.5] * 3, occ_cfg), batch, ks)
+
+    mesh = meshmod.make_mesh()
+    state_b, grid_b, metrics_b = stepf(
+        meshmod.replicate(train_step.init_state(jax.random.key(0), setup),
+                          mesh),
+        meshmod.replicate(og.init_grid([-1.5] * 3, [1.5] * 3, occ_cfg),
+                          mesh),
+        meshmod.shard_batch(batch, mesh), ks)
+
+    np.testing.assert_allclose(
+        float(metrics_a["loss"]), float(metrics_b["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(grid_a["density"]),
+                               np.asarray(grid_b["density"]),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(grid_a["occ"]),
+                               np.asarray(grid_b["occ"]))
+    for a, b in zip(jax.tree.leaves(state_a.params_fine),
+                    jax.tree.leaves(state_b.params_fine)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_depth_train_step_runs_and_flows():
     """Depth-supervised step: space-carving loss computed, scale/shift
     updated before freeze and frozen after."""
