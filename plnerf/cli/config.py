@@ -180,26 +180,7 @@ def add_base_flags(parser: ConfigArgumentParser) -> None:
            "the large-N_rand memory ceiling")
     a("--no_mesh", action="store_true",
       help="disable the device mesh (single-chip even if more visible)")
-    a("--occ_grid", action="store_true",
-      help="occupancy-grid guided coarse sampling (core/occgrid.py): "
-           "fewer coarse samples at equal quality; pair with a reduced "
-           "--N_samples (e.g. 32) for the speedup")
-    a("--occ_res", type=int, default=128, help="occupancy grid resolution")
-    a("--occ_candidates", type=int, default=96,
-      help="uniform candidate bins tested against the grid per ray")
-    a("--occ_warmup", type=int, default=256,
-      help="steps of plain uniform sampling before the grid engages "
-           "(the grid is checkpointed as a <step>.occ sidecar and restored "
-           "on resume and by eval tasks)")
-    a("--occ_bound", type=float, default=1.5,
-      help="scene half-extent: grid covers [-b, b]^3")
-    a("--occ_decay", type=float, default=0.9,
-      help="EMA decay of a grid cell per fresh observation "
-           "(visited-only; see core/occgrid.update_grid)")
-    a("--occ_threshold", type=float, default=1e-2,
-      help="density above which a cell counts as occupied")
-    a("--occ_floor", type=float, default=0.01,
-      help="PDF floor for unoccupied candidate bins")
+    add_occ_flags(a)
     a("--seed", type=int, default=0)
     a("--profile", type=int, default=0,
       help="capture a jax profiler trace of N training steps into "
@@ -213,6 +194,31 @@ def config_parser() -> ConfigArgumentParser:
     parser = ConfigArgumentParser()
     add_base_flags(parser)
     return parser
+
+
+def add_occ_flags(a) -> None:
+    """Occupancy-grid flag group (core/occgrid.py), shared by the NVS and
+    depth drivers.  ``a`` is a parser's ``add_argument``."""
+    a("--occ_grid", action="store_true",
+      help="occupancy-grid guided coarse sampling (core/occgrid.py): "
+           "fewer coarse samples at equal quality; pair with a reduced "
+           "--N_samples (e.g. 32) for the speedup")
+    a("--occ_res", type=int, default=128, help="occupancy grid resolution")
+    a("--occ_candidates", type=int, default=96,
+      help="uniform candidate bins tested against the grid per ray")
+    a("--occ_warmup", type=int, default=256,
+      help="steps of plain uniform sampling before the grid engages "
+           "(the grid is checkpointed as a <step>.occ sidecar and restored "
+           "on resume and by eval tasks)")
+    a("--occ_bound", type=float, default=1.5,
+      help="scene half-extent: grid covers [-b, b]^3")
+    a("--occ_decay", type=float, default=0.7,
+      help="per-observation EMA coefficient of a grid cell "
+           "(visited-only mean-EMA; see core/occgrid.update_grid)")
+    a("--occ_threshold", type=float, default=1e-2,
+      help="density above which a cell counts as occupied")
+    a("--occ_floor", type=float, default=0.01,
+      help="PDF floor for unoccupied candidate bins")
 
 
 # CLI fields preserved (from the command line) when reloading args.json for

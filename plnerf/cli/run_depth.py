@@ -35,8 +35,9 @@ from ..parallel import mesh as pmesh
 from ..train import batching
 from ..train.step import TrainSetup, init_state, make_depth_train_step
 from ..utils.logging import MetricsLogger
-from .config import ConfigArgumentParser, str2bool
-from .run_plnerf import _shard, get_mesh
+from .config import ConfigArgumentParser, add_occ_flags, str2bool
+from .run_plnerf import (_fresh_occ_grid, _shard, get_mesh,
+                         occ_cfg_from_args, occ_for_eval)
 
 
 def config_parser() -> ConfigArgumentParser:
@@ -110,6 +111,7 @@ def config_parser() -> ConfigArgumentParser:
     a("--mlp_dtype", type=str, default="float32")
     a("--use_pallas", action="store_true")
     a("--no_mesh", action="store_true")
+    add_occ_flags(a)
     return p
 
 
@@ -184,10 +186,17 @@ def _make_depth_step(setup: TrainSetup, n_rand: int, near, far, mesh=None,
     then run the depth train step.  With ``n_inner > 1`` a lax.scan fuses
     that many (image-choice + sample + step) iterations into one dispatch;
     the training image is then drawn on device instead of by the host
-    np.random.choice (reference :1113) — same distribution."""
-    base = make_depth_train_step(setup)
+    np.random.choice (reference :1113) — same distribution.
 
-    def one(state, images, poses, intrinsics, hyp, sc_mask, img_i, key):
+    When ``setup.rcfg.occ`` is set, the carry is ``(state, occ_grid)``:
+    coarse samples are grid-guided and the grid EMA folds in each step's
+    density observations (same contract as run_plnerf's occ variants)."""
+    base = make_depth_train_step(setup)
+    use_occ = setup.rcfg.occ is not None
+    if use_occ:
+        from ..train.step import _apply_occ_update
+
+    def one(carry, images, poses, intrinsics, hyp, sc_mask, img_i, key):
         H, W = images.shape[1], images.shape[2]
         kpix, ks = jax.random.split(key)
         y, x = batching.select_pixels(kpix, H, W, n_rand, False, 0.5)
@@ -213,23 +222,28 @@ def _make_depth_step(setup: TrainSetup, n_rand: int, near, far, mesh=None,
                 target_h, pmesh.NamedSharding(
                     mesh, pmesh.P(None, pmesh.DATA_AXIS))
             )
-        return base(state, batch, ks)
+        if use_occ:
+            state, grid = carry
+            state, metrics = base(state, dict(batch, occ_grid=grid), ks)
+            grid, metrics = _apply_occ_update(setup, grid, batch, metrics)
+            return (state, grid), metrics
+        return base(carry, batch, ks)
 
     if n_inner == 1:
         return jax.jit(one, donate_argnums=(0,))
 
     @partial(jax.jit, donate_argnums=(0,))
-    def run(state, images, poses, intrinsics, hyp, sc_mask, i_train, key):
+    def run(carry, images, poses, intrinsics, hyp, sc_mask, i_train, key):
         keys = jax.random.split(key, n_inner)
 
-        def body(st, k):
+        def body(c, k):
             kimg, kstep = jax.random.split(k)
             ti = jax.random.randint(kimg, (), 0, i_train.shape[0])
-            return one(st, images, poses, intrinsics, hyp, sc_mask,
+            return one(c, images, poses, intrinsics, hyp, sc_mask,
                        i_train[ti], kstep)
 
-        state, metrics = jax.lax.scan(body, state, keys)
-        return state, jax.tree.map(lambda m: m[-1], metrics)
+        carry, metrics = jax.lax.scan(body, carry, keys)
+        return carry, jax.tree.map(lambda m: m[-1], metrics)
 
     return run
 
@@ -259,6 +273,20 @@ def run_training(args, data, setup, mcfg, rcfg):
     if mesh is not None:
         state = pmesh.replicate(state, mesh)
 
+    # occupancy grid (flag-gated TPU perf path, shared with run_plnerf;
+    # sidecar-checkpointed as <step>.occ)
+    occ_cfg = occ_cfg_from_args(args)
+    occ_state = None
+    if occ_cfg is not None:
+        occ_state = _fresh_occ_grid(args, occ_cfg)
+        if start > 0:
+            gp = ckio.aux_path(
+                os.path.join(exp_dir(args), f"{start:06d}.ckpt"), "occ")
+            if os.path.exists(gp):
+                occ_state = ckio.restore_checkpoint(gp, occ_state)
+        if mesh is not None:
+            occ_state = pmesh.replicate(occ_state, mesh)
+
     # GT depth as the (single) space-carving hypothesis
     # (reference :1068-1070: gt_depths_train unsqueezed to hypothesis dim)
     hyp = jnp.asarray(data.gt_depths)[:, None, :, :, 0:1]  # [N,1,H,W,1]
@@ -271,11 +299,20 @@ def run_training(args, data, setup, mcfg, rcfg):
     intr_j = jnp.asarray(data.intrinsics, jnp.float32)
 
     n_inner = max(1, getattr(args, "steps_per_dispatch", 1))
-    step = _make_depth_step(setup, args.N_rand, data.near, data.far, mesh,
-                            n_inner)
-    step1 = (step if n_inner == 1 else
-             _make_depth_step(setup, args.N_rand, data.near, data.far,
-                              mesh, 1))
+    import dataclasses as _dc
+
+    steps: dict = {}
+
+    def get_step(occ_on: bool, inner: int):
+        """jit-cached (occ x inner) step variants, built on demand."""
+        k = (occ_on, inner)
+        if k not in steps:
+            s = setup if not occ_on else _dc.replace(
+                setup, rcfg=_dc.replace(setup.rcfg, occ=occ_cfg))
+            steps[k] = _make_depth_step(s, args.N_rand, data.near,
+                                        data.far, mesh, inner)
+        return steps[k]
+
     i_train_j = jnp.asarray(i_train)
     key = jax.random.PRNGKey(args.random_seed)
     rng = np.random.default_rng(args.random_seed)
@@ -283,21 +320,32 @@ def run_training(args, data, setup, mcfg, rcfg):
     steps_since_print = 0
     i0 = start + 1
     while i0 <= args.num_iterations:
-        window_end = min(i0 + n_inner - 1, args.num_iterations)
+        occ_on = occ_cfg is not None and i0 > start + args.occ_warmup
+        # split the dispatch window at the occ-warmup boundary so one jit
+        # cache per phase suffices (mirrors run_plnerf's phase windows)
+        nb = (start + args.occ_warmup + 1
+              if occ_cfg is not None and not occ_on
+              else args.num_iterations + 1)
+        window_end = min(i0 + n_inner - 1, nb - 1, args.num_iterations)
         n_this = window_end - i0 + 1
         i = window_end
+        carry = (state, occ_state) if occ_on else state
         if n_this == n_inner and n_inner > 1:
             key, ks = jax.random.split(key)
-            state, metrics = step(
-                state, images_j, poses_j, intr_j, hyp, sc_mask,
+            carry, metrics = get_step(occ_on, n_inner)(
+                carry, images_j, poses_j, intr_j, hyp, sc_mask,
                 i_train_j, ks)
         else:
             for _ in range(n_this):
                 key, ks = jax.random.split(key)
                 img_i = jnp.asarray(int(rng.choice(i_train)))
-                state, metrics = step1(
-                    state, images_j, poses_j, intr_j, hyp, sc_mask,
+                carry, metrics = get_step(occ_on, 1)(
+                    carry, images_j, poses_j, intr_j, hyp, sc_mask,
                     img_i, ks)
+        if occ_on:
+            state, occ_state = carry
+        else:
+            state = carry
         i0 = window_end + 1
         steps_since_print += n_this
 
@@ -324,9 +372,10 @@ def run_training(args, data, setup, mcfg, rcfg):
             out = EI.render_image(
                 state.params_coarse, state.params_fine, data.poses[vi],
                 data.hwf, data.intrinsics[vi], mcfg,
-                EI.test_render_config(rcfg), near=data.near, far=data.far,
+                EI.test_render_config(rcfg, occ=occ_cfg),
+                near=data.near, far=data.far,
                 chunk=args.chunk, mesh=mesh, pixel_center=True,
-                mcfg_fine=setup.mcfg_fine,
+                mcfg_fine=setup.mcfg_fine, occ_grid=occ_state,
             )
             val_mse = float(np.mean(
                 (out["rgb_map"] - np.asarray(data.images[vi])) ** 2))
@@ -340,9 +389,14 @@ def run_training(args, data, setup, mcfg, rcfg):
             logger.scalars(i, rec, prefix="val/")
             logger.image(i, "val/rgb", np.clip(out["rgb_map"], 0, 1))
         if fires(args.i_weights):
-            print("Saved", ckio.save_checkpoint(exp_dir(args),
-                                                int(state.step), state))
-    ckio.save_checkpoint(exp_dir(args), int(state.step), state)
+            path = ckio.save_checkpoint(exp_dir(args), int(state.step),
+                                        state)
+            if occ_state is not None:
+                ckio.save_aux(path, "occ", occ_state)
+            print("Saved", path)
+    path = ckio.save_checkpoint(exp_dir(args), int(state.step), state)
+    if occ_state is not None:
+        ckio.save_aux(path, "occ", occ_state)
     logger.close()
 
 
@@ -361,7 +415,11 @@ def run(args):
         print(f"Loaded {path}")
     mesh = get_mesh(args)
     i_test = np.asarray(data.i_split[2])
-    test_rcfg = EI.test_render_config(rcfg)
+    # occ-trained models evaluate with the sidecar grid (same contract as
+    # run_plnerf; camera-embedding test-time opt runs grid-less — its
+    # render_rays falls back to uniform when no grid is passed)
+    occ_cfg_e, occ_grid_e = occ_for_eval(args)
+    test_rcfg = EI.test_render_config(rcfg, occ=occ_cfg_e)
     if args.task in ("test", "test_opt"):
         lp = load_lpips(args.lpips_weights)
         # test-time camera-embedding optimization (reference
@@ -389,7 +447,7 @@ def run(args):
             state.params_coarse, state.params_fine, data, i_test, mcfg,
             test_rcfg, chunk=args.chunk, mesh=mesh, lpips_fn=lp,
             pixel_center=True, cam_embeddings=cam_embeddings,
-            mcfg_fine=setup.mcfg_fine,
+            mcfg_fine=setup.mcfg_fine, occ_grid=occ_grid_e,
         )
         result_dir = os.path.join(
             exp_dir(args),
@@ -408,7 +466,7 @@ def run(args):
             test_rcfg, result_dir, chunk=args.chunk, mesh=mesh,
             pixel_center=True, valid_mask_from_dataset=True,
             metrics_filename="metrics_depth_samples.txt",
-            mcfg_fine=setup.mcfg_fine,
+            mcfg_fine=setup.mcfg_fine, occ_grid=occ_grid_e,
         )
     elif args.task == "video":
         i_video = (np.asarray(data.i_split[3])
@@ -419,7 +477,7 @@ def run(args):
             np.asarray(data.poses)[i_video], data.hwf, data.K, mcfg,
             test_rcfg, near=data.near, far=data.far, chunk=args.chunk,
             savedir=savedir, mesh=mesh, pixel_center=True,
-            mcfg_fine=setup.mcfg_fine,
+            mcfg_fine=setup.mcfg_fine, occ_grid=occ_grid_e,
         )
         EI.write_video(os.path.join(savedir, "video.mp4"), rgbs, fps=10)
         # 16-bit + TURBO depth frames from the renderer's expected depth

@@ -131,7 +131,8 @@ def occ_for_eval(args):
     if occ_cfg is None:
         return None, None
     grid = _fresh_occ_grid(args, occ_cfg)
-    path = args.ft_path or ckio.latest_checkpoint(exp_dir(args))
+    path = (getattr(args, "ft_path", None)
+            or ckio.latest_checkpoint(exp_dir(args)))
     if path:
         gp = ckio.aux_path(path, "occ")
         if os.path.exists(gp):

@@ -56,6 +56,40 @@ def test_depth_train_and_test(scene_dir, tmp_path):
     assert "depth_rmse" in metrics
 
 
+def test_depth_occ_grid_train_and_test(scene_dir, tmp_path):
+    """Depth driver with --occ_grid: warmup -> grid-guided phase, sidecar
+    grid saved next to the checkpoint, test task evaluates grid-guided
+    (same contract as run_plnerf's occ path)."""
+    data_dir, scene_id = scene_dir
+    ckpt_dir = str(tmp_path / "dockpts")
+    depth_main(["train"] + TINY + [
+        "--data_dir", data_dir, "--scene_id", scene_id,
+        "--ckpt_dir", ckpt_dir, "--expname", "docc",
+        "--num_iterations", "12", "--i_weights", "12",
+        "--steps_per_dispatch", "4",
+        "--occ_grid", "--occ_warmup", "6", "--occ_res", "16",
+        "--occ_candidates", "16", "--occ_bound", "1.5",
+    ])
+    exp = os.path.join(ckpt_dir, "docc")
+    assert os.path.exists(os.path.join(exp, "000012.ckpt"))
+    assert os.path.exists(os.path.join(exp, "000012.occ"))
+    import json
+
+    with open(os.path.join(exp, "metrics.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    assert all(np.isfinite(r["train/loss"]) for r in recs
+               if "train/loss" in r)
+
+    depth_main(["test"] + TINY + [
+        "--data_dir", data_dir, "--scene_id", scene_id,
+        "--ckpt_dir", ckpt_dir, "--expname", "docc",
+    ])
+    test_dirs = [d for d in os.listdir(exp) if d.startswith("test_images_")]
+    assert test_dirs
+    assert "psnr" in open(
+        os.path.join(exp, test_dirs[0], "metrics.txt")).read()
+
+
 def test_depth_samples_error_and_video(scene_dir, tmp_path):
     """Depth driver's remaining tasks: test_samples_error + video."""
     data_dir, scene_id = scene_dir
