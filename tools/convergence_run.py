@@ -192,26 +192,33 @@ def run_nvs(mode, iters, tiny, slab=True):
           "elapsed_s": round(time.time() - t0, 1)})
 
 
-def run_depth(iters, tiny):
+def run_depth(iters, tiny, use_occ=False, slab=True):
+    """Depth-supervised convergence; ``use_occ`` runs the same recipe with
+    occupancy-grid guided coarse sampling (32 guided + 64, grid engaged
+    from the start — the depth driver's own warmup is exercised by the
+    CLI test) and grid-guided eval."""
     import jax
     import jax.numpy as jnp
 
     from plnerf.cli.run_depth import _make_depth_step
+    from plnerf.core import occgrid as og
     from plnerf.core.config import ModelConfig, RenderConfig
     from plnerf.train import step as train_step
 
-    ds = build_dataset(tiny)
+    ds = build_dataset(tiny, slab=slab)
     mcfg = ModelConfig(
         netdepth=4 if tiny else 8, netwidth=64 if tiny else 256,
         skips=(2,) if tiny else (4,),
         multires=6 if tiny else 9, multires_views=0, use_viewdirs=True,
         pi_bands=True, density_activation="softplus10", init="xavier")
-    ns, ni = (32, 16) if tiny else (128, 64)
+    ns, ni = ((32, 16) if tiny else ((32, 64) if use_occ else (128, 64)))
     n_rand = 256 if tiny else 1024
+    occ_cfg = og.OccGridConfig(resolution=128, candidates=96) \
+        if use_occ else None
     rcfg = RenderConfig(
         n_samples=ns, n_importance=ni, mode="linear", white_bkgd=True,
         perturb=True, compute_pred_hyp=True, trim_first_weight=True,
-        mlp_dtype="bfloat16")
+        mlp_dtype="bfloat16", occ=occ_cfg)
     setup = train_step.TrainSetup(
         mcfg=mcfg, rcfg=rcfg, lrate=5e-4, joint_optimizer=True,
         grad_clip_value=0.1, space_carving_weight=0.007,
@@ -229,31 +236,43 @@ def run_depth(iters, tiny):
     sc_mask = jnp.asarray(ds.gt_valid_depths.astype(np.float32))
     i_train_j = jnp.asarray(ds.i_train)
 
+    tag = "depth-occ" if use_occ else "depth"
+    if not slab:
+        tag += "-sparse"
+    carry = ((state, og.init_grid([-2.0] * 3, [2.0] * 3, occ_cfg))
+             if use_occ else state)
     key = jax.random.key(2)
     done = 0
     t0 = time.time()
     while done < iters:
         key, ks = jax.random.split(key)
-        state, metrics = step(state, images_j, poses_j, intr_j, hyp,
+        carry, metrics = step(carry, images_j, poses_j, intr_j, hyp,
                               sc_mask, i_train_j, ks)
         done += n_inner
         if done % 1000 == 0 or done >= iters:
+            state = carry[0] if use_occ else carry
+            occ = (occ_cfg, carry[1]) if use_occ else None
             ev = eval_test(state, ds, mcfg, rcfg, n_views=2, seed=done,
-                           pixel_center=True)
-            emit({"run": "depth", "iter": done,
+                           pixel_center=True, occ=occ)
+            if use_occ:
+                ev["occ_frac"] = round(float(jnp.mean(carry[1]["occ"])), 4)
+            emit({"run": tag, "iter": done,
                   "train_psnr": round(float(metrics["psnr"]), 2),
                   "sc_loss": round(float(metrics["space_carving_loss"]), 5),
                   **ev, "elapsed_s": round(time.time() - t0, 1)})
+    state = carry[0] if use_occ else carry
+    occ = (occ_cfg, carry[1]) if use_occ else None
     final = eval_test(state, ds, mcfg, rcfg, n_views=len(ds.i_test),
-                      seed=999, pixel_center=True)
-    emit({"run": "depth", "iter": done, "final": True, **final,
+                      seed=999, pixel_center=True, occ=occ)
+    emit({"run": tag, "iter": done, "final": True, **final,
           "elapsed_s": round(time.time() - t0, 1)})
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="all",
-                    choices=["constant", "linear", "depth", "occ", "all"])
+                    choices=["constant", "linear", "depth", "occ",
+                             "depth-occ", "all"])
     ap.add_argument("--iters", type=int, default=8000)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--scene", default="slab", choices=["slab", "sparse"],
@@ -266,8 +285,9 @@ def main():
     modes = ([args.mode] if args.mode != "all"
              else ["constant", "linear", "depth"])
     for m in modes:
-        if m == "depth":
-            run_depth(args.iters, args.tiny)
+        if m in ("depth", "depth-occ"):
+            run_depth(args.iters, args.tiny, use_occ=m == "depth-occ",
+                      slab=slab)
         else:
             run_nvs(m, args.iters, args.tiny, slab=slab)
 
