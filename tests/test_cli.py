@@ -69,6 +69,18 @@ def test_reference_configs_parse():
         assert not unknown, f"{name}: {unknown}"
 
 
+def test_shipped_configs_parse():
+    """Every config shipped in configs/ parses against the NVS parser."""
+    cfg_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs")
+    parser = config_parser()
+    known = {a.dest for a in parser._actions}
+    for name in sorted(os.listdir(cfg_dir)):
+        vals = read_config_file(os.path.join(cfg_dir, name))
+        unknown = set(vals) - known
+        assert not unknown, f"{name}: {unknown}"
+
+
 def test_train_test_video_roundtrip(scene_dir, tmp_path):
     data_dir, scene_id = scene_dir
     ckpt_dir = str(tmp_path / "ckpts")
