@@ -22,27 +22,33 @@ recomputed tile-by-tile in VMEM and weight/bias grads accumulate across
 sequential grid steps in revisited VMEM blocks; gradient parity vs the
 XLA vjp is tested to 1e-4.  Other topologies fall back to an XLA vjp.
 
-Measured on TPU v5e (2026-08-16): after the profiling-driven XLA-path
-fixes (bf16 dot outputs + bf16 stored activations, masked-sum gathers)
-the full training step runs 113.6 ms/step XLA vs 120.4 ms/step with this
-kernel pair at 8192 rays — XLA's fusions are already near-parity, so the
-kernel stays OPT-IN (``RenderConfig.use_pallas_mlp`` / ``--use_pallas``).
+Round-2 characterization at flagship scale (2.63M points, bf16, v5e,
+tools/bench_kernel.py + tools/mosaic_probe.py) — measurement notes
+first, they changed the story twice:
 
-Round-2 characterization at flagship scale (2.63M points, bf16,
-tools/bench_kernel.py): XLA fwd 63.0 ms; Pallas fwd 64.3 ms; Pallas
-fwd+bwd pair 108.1 ms vs the XLA step's MLP portion ~87 ms.  The kernel
-eliminates ~40x of HBM activation traffic yet does not win, because it
-sits at a Mosaic matmul-throughput wall (~52 TFLOP/s = ~26% of bf16
-peak, where XLA's own matmul kernels sustain 88-98 TFLOP/s through the
-same chip): forward time is INVARIANT to tile size (512/1024/2048 all
-64-67 ms) and to interleaving two independent layer chains per tile
-(_ILV=2 measured slower, 69.1 ms), ruling out per-dot overhead and
-result-latency stalls — the per-dot lowering itself is the bound.
-Mosaic constraints hit on the way: matmul accumulators must be 32-bit
-(no bf16 preferred_element_type), and bf16 comparisons are rejected
-(masks compare in f32).  Recompute lists are stored bf16 (numerically
-identical — the next matmul casts operands to bf16 anyway), which lets
-the bf16 backward fit tile 1024.  fp32 tiles >= 2048 exceed VMEM.
+* A grad-only benchmark of a custom-vjp pair DCE's the primal forward
+  (the residuals don't depend on the forward kernel's output), so early
+  "pair" numbers timed the backward alone; bench_kernel._pair_fn folds
+  value_and_grad into one scalar to keep both kernels live.
+* Honest isolated pair (flattened 2-D operands): **Pallas 131.9 ms vs
+  XLA 180.6 ms — 27% faster.**  XLA's 2-D fwd+bwd is far worse than its
+  in-step 3-D form ([rays, samples, ch]), which is what the production
+  step uses.
+* In the REAL training step (3-D XLA form, grad-accum 2, 8192 rays):
+  Pallas 146.1 vs XLA 144.7 ms/step — parity (round 1 was 6% behind).
+  XLA keeps a ~1% edge end-to-end, so the kernel stays OPT-IN
+  (``RenderConfig.use_pallas_mlp`` / ``--use_pallas``).
+* tools/mosaic_probe.py: pure Mosaic matmul chains at these shapes
+  sustain ~81 TFLOP/s — dependency chains, bias and relu are all free.
+  The forward kernel runs at 64 ms where its pure-matmul equivalent is
+  ~45 ms; removing every in-kernel concat (split-block weights, aligned
+  two-slot output) did NOT move it, so the residual gap sits in the
+  mixed-K/narrow-head dot shapes, not in relayouts.
+* Mosaic constraints: matmul accumulators must be 32-bit (bf16
+  preferred_element_type rejected); bf16 comparisons rejected (masks
+  compare in f32).  Recompute lists are stored bf16 (numerically
+  identical — the next matmul casts operands to bf16 anyway), letting
+  the bf16 backward fit tile 1024.  fp32 tiles >= 2048 exceed VMEM.
 """
 from __future__ import annotations
 
@@ -58,11 +64,6 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.config import ModelConfig
 
 LANE = 128
-# Independent sub-blocks interleaved per forward tile.  Measured on v5e:
-# 2 is SLOWER than 1 (69.1 vs 64.3 ms fwd at 2.63M pts) — the serial
-# layer chain's result latency is not what bounds the kernel, so the
-# interleave only adds register pressure.  Kept as a documented knob.
-_ILV = 1
 
 
 def _rup(x: int, m: int = LANE) -> int:
@@ -79,26 +80,29 @@ def _pad_bias(b, cols: int):
 
 def _padded_weights(params, cfg: ModelConfig, in_p: int, w_p: int,
                     v_p: int, h_p: int, dtype):
-    """Zero-pad every weight to lane-multiple shapes.  Skip layers get
-    their rows placed to match the padded concat layout
-    [pts_embed (in_p) | h (w_p)]."""
+    """Zero-pad every weight to lane-multiple shapes.
+
+    Concat-free layout (measured: tools/mosaic_probe.py shows Mosaic
+    matmuls sustain ~81 TFLOP/s at these shapes while the concat-based
+    kernel ran at ~52 — the in-kernel concats/relayouts were the gap):
+    a layer fed by a concat ``[a | b] @ W`` is stored as TWO weight
+    blocks and computed as ``a @ Wa + b @ Wb`` — same math, aligned
+    operands, no copies.  Applies to the skip layer (rows split at
+    in_ch) and the views layer (rows split at netwidth)."""
     in_ch = cfg.input_ch
     W = cfg.netwidth
     tensors = []
 
-    padded_in = in_p
     for i, layer in enumerate(params["pts_linears"]):
         w, b = layer["w"], layer["b"]
         if (i - 1) in cfg.skips:
-            # input is the padded concat [pts_embed (in_p) | h (w_p)]:
-            # scatter the original [in_ch + W, W] rows into that layout
-            wp = jnp.zeros((in_p + w_p, w_p), w.dtype)
-            wp = wp.at[:in_ch, :W].set(w[:in_ch])
-            wp = wp.at[in_p: in_p + W, :W].set(w[in_ch:])
+            # concat input [x | h]: split into x-rows and h-rows blocks
+            tensors += [_pad2(w[:in_ch], in_p, w_p).astype(dtype),
+                        _pad2(w[in_ch:], w_p, w_p).astype(dtype),
+                        _pad_bias(b, w_p)]
         else:
-            wp = _pad2(w, padded_in, w_p)
-        tensors += [wp.astype(dtype), _pad_bias(b, w_p)]
-        padded_in = in_p + w_p if i in cfg.skips else w_p
+            tensors += [_pad2(w, in_p if i == 0 else w_p, w_p).astype(dtype),
+                        _pad_bias(b, w_p)]
 
     if cfg.use_viewdirs:
         tensors += [
@@ -107,13 +111,11 @@ def _padded_weights(params, cfg: ModelConfig, in_p: int, w_p: int,
             _pad2(params["feature_linear"]["w"], w_p, w_p).astype(dtype),
             _pad_bias(params["feature_linear"]["b"], w_p),
         ]
-        # views layer rows: [feature (w_p) | views (v_p)]
+        # views layer input [feature | views]: split blocks
         vw = params["views_linears"][0]["w"]
-        vv = jnp.zeros((w_p + v_p, h_p), vw.dtype)
-        vv = vv.at[:W, : W // 2].set(vw[:W])
-        vv = vv.at[w_p: w_p + vw.shape[0] - W, : W // 2].set(vw[W:])
         tensors += [
-            vv.astype(dtype),
+            _pad2(vw[:W], w_p, h_p).astype(dtype),
+            _pad2(vw[W:], v_p, h_p).astype(dtype),
             _pad_bias(params["views_linears"][0]["b"], h_p),
             _pad2(params["rgb_linear"]["w"], h_p, LANE).astype(dtype),
             _pad_bias(params["rgb_linear"]["b"], LANE),
@@ -128,65 +130,57 @@ def _padded_weights(params, cfg: ModelConfig, in_p: int, w_p: int,
 
 def _kernel(cfg: ModelConfig, n_pts_layers: int, dtype,
             x_ref, v_ref, *refs):
-    """One tile: x [T, in_p], v [T, v_p] -> out [T, 128]
-    (cols 0-2 rgb, col 3 density)."""
+    """One tile: x [T, in_p], v [T, v_p] -> out [T, 2*LANE]
+    (viewdirs: rgb in lanes 0..LANE-1, density in lane LANE; plain:
+    output_linear in lanes 0..LANE-1).
+
+    CONCAT-FREE: layers fed by a concat compute ``a @ Wa + b @ Wb``
+    against split weight blocks (see _padded_weights), and the two head
+    outputs go to separate LANE-aligned output slots.  Measured on v5e
+    (tools/mosaic_probe.py): pure Mosaic matmul chains at these shapes
+    sustain ~81 TFLOP/s — dependency chains, bias and relu are free —
+    while the concat-based kernel ran at ~52; the in-kernel concats and
+    the lane-misaligned [T,127] output slice were the entire gap.
+    fp32 path matches the XLA path's Precision.HIGHEST (true fp32
+    matmuls); bf16 uses MXU-native passes with fp32 accumulation (Mosaic
+    requires a 32-bit matmul accumulator)."""
     out_ref = refs[-1]
     wrefs = refs[:-1]
-
-    # fp32 path matches the XLA path's Precision.HIGHEST (true fp32
-    # matmuls); bf16 uses fast MXU-native passes with fp32 accumulation
-    # (Mosaic requires a 32-bit matmul accumulator — bf16 dot outputs are
-    # rejected at verification).  The tile is split into ``_ILV``
-    # independent sub-blocks whose layer chains are interleaved: a single
-    # chain is strictly serial (each dot consumes the previous dot's
-    # output), which leaves the MXU idle for the result latency of every
-    # dot; interleaved chains give the scheduler independent matmuls to
-    # overlap with.
     precision = (jax.lax.Precision.HIGHEST
                  if dtype == jnp.float32 else None)
 
-    def dot(h, w_ref, b_ref):
-        return (
-            jax.lax.dot_general(
-                h.astype(dtype), w_ref[:],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=precision,
-            )
-            + b_ref[:]
+    def mm(h, w_ref):
+        return jax.lax.dot_general(
+            h.astype(dtype), w_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
         )
 
-    T = x_ref.shape[0]
-    n_blk = _ILV if T % _ILV == 0 else 1
-    blk = T // n_blk
-    xs = [x_ref[k * blk:(k + 1) * blk] for k in range(n_blk)]
-    hs = list(xs)
+    x = x_ref[:]
+    h = x
     ri = 0
     for i in range(n_pts_layers):
-        hs = [jnp.maximum(dot(h, wrefs[ri], wrefs[ri + 1]), 0.0)
-              for h in hs]
-        ri += 2
-        if i in cfg.skips:
-            hs = [jnp.concatenate([x.astype(jnp.float32), h], axis=-1)
-                  for x, h in zip(xs, hs)]
+        if (i - 1) in cfg.skips:
+            z = mm(x, wrefs[ri]) + mm(h, wrefs[ri + 1]) + wrefs[ri + 2][:]
+            ri += 3
+        else:
+            z = mm(h, wrefs[ri]) + wrefs[ri + 1][:]
+            ri += 2
+        h = jnp.maximum(z, 0.0)
 
     if cfg.use_viewdirs:
-        vs = [v_ref[k * blk:(k + 1) * blk] for k in range(n_blk)]
-        alphas = [dot(h, wrefs[ri], wrefs[ri + 1]) for h in hs]
-        feats = [dot(h, wrefs[ri + 2], wrefs[ri + 3]) for h in hs]
-        hvs = [jnp.concatenate([f, v.astype(jnp.float32)], -1)
-               for f, v in zip(feats, vs)]
-        hvs = [jnp.maximum(dot(hv, wrefs[ri + 4], wrefs[ri + 5]), 0.0)
-               for hv in hvs]
-        rgbs = [dot(hv, wrefs[ri + 6], wrefs[ri + 7]) for hv in hvs]
-        out = jnp.concatenate([
-            jnp.concatenate([rgb[:, :LANE - 1], alpha[:, 0:1]], axis=-1)
-            for rgb, alpha in zip(rgbs, alphas)
-        ], axis=0)
+        alpha = mm(h, wrefs[ri]) + wrefs[ri + 1][:]          # [T, LANE]
+        feature = mm(h, wrefs[ri + 2]) + wrefs[ri + 3][:]    # [T, w_p]
+        hv = jnp.maximum(
+            mm(feature, wrefs[ri + 4]) + mm(v_ref[:], wrefs[ri + 5])
+            + wrefs[ri + 6][:], 0.0)
+        rgb = mm(hv, wrefs[ri + 7]) + wrefs[ri + 8][:]       # [T, LANE]
+        out_ref[:, :LANE] = rgb
+        out_ref[:, LANE:] = alpha
     else:
-        out = jnp.concatenate(
-            [dot(h, wrefs[ri], wrefs[ri + 1]) for h in hs], axis=0)
-    out_ref[:] = out
+        out_ref[:, :LANE] = mm(h, wrefs[ri]) + wrefs[ri + 1][:]
+        out_ref[:, LANE:] = jnp.zeros((x.shape[0], LANE), jnp.float32)
 
 
 @functools.partial(
@@ -229,16 +223,18 @@ def _forward(params, pts_embed, views_embed, cfg: ModelConfig,
                          memory_space=pltpu.VMEM),
             *wspecs,
         ],
-        out_specs=pl.BlockSpec((tile, LANE), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile, 2 * LANE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, LANE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 2 * LANE), jnp.float32),
         interpret=interpret,
     )(x, v, *weights)
 
     if cfg.use_viewdirs:
-        # kernel packs rgb in cols 0-2 and density in the last lane
+        # kernel packs rgb in lanes 0..2 and density in lane LANE (both
+        # head stores LANE-aligned; this slice+concat runs in XLA, not in
+        # the kernel)
         raw = jnp.concatenate(
-            [out[:N, 0:3], out[:N, LANE - 1:LANE]], axis=-1)
+            [out[:N, 0:3], out[:N, LANE:LANE + 1]], axis=-1)
     else:
         raw = out[:N, :4]  # output_linear layout: [rgb(3), sigma, ...]
     return raw
@@ -260,16 +256,37 @@ def _apply_fwd(params, pts_embed, views_embed, cfg, dtype_name, tile,
 
 
 
+def _layer_ref_walk(cfg: ModelConfig, n_layers: int):
+    """(kind, first-ref-index) per pts layer under the split-block weight
+    layout: 'skip' layers (fed by the [x | h] concat) own 3 refs
+    (wx, wh, b); plain layers own 2 (w, b).  Returns (walk, next_index).
+    """
+    walk = []
+    ri = 0
+    for i in range(n_layers):
+        if (i - 1) in cfg.skips:
+            walk.append(("skip", ri))
+            ri += 3
+        else:
+            walk.append(("plain", ri))
+            ri += 2
+    return walk, ri
+
+
 def _bwd_kernel(cfg: ModelConfig, n_layers: int, dtype, in_p, w_p, v_p, h_p,
                 x_ref, v_ref, g_ref, *refs):
     """Backward for the viewdirs topology, one tile per grid step.
 
-    Recomputes the forward activations in VMEM, then backpropagates.
-    Weight/bias grad outputs use a constant index map, so the same VMEM
-    block is revisited every grid step: zero-initialized at step 0 and
-    accumulated in place (sequential TPU grid).
+    Recomputes the forward activations in VMEM, then backpropagates —
+    concat-free like the forward: two-block layers take ``a@Wa + b@Wb``
+    and produce separate dWa/dWb and input grads without any in-kernel
+    concatenation or slicing.  Weight/bias grad outputs use a constant
+    index map, so the same VMEM block is revisited every grid step:
+    zero-initialized at step 0 and accumulated in place (sequential TPU
+    grid).
     """
-    n_w = 2 * n_layers + 8            # weight/bias refs
+    walk, n_pts_refs = _layer_ref_walk(cfg, n_layers)
+    n_w = n_pts_refs + 9              # + heads: wa ba wf bf wvf wvv bv wr br
     wrefs = refs[:n_w]
     outs = refs[n_w:]
     dx_ref, dv_ref = outs[0], outs[1]
@@ -306,61 +323,73 @@ def _bwd_kernel(cfg: ModelConfig, n_layers: int, dtype, in_p, w_p, v_p, h_p,
         for gr in grad_refs:
             gr[...] = jnp.zeros(gr.shape, gr.dtype)
 
-    def acc(idx, dw, db):
+    def acc_w(idx, dw):
         grad_refs[idx][...] += dw
-        grad_refs[idx + 1][...] += db.reshape(1, -1)
 
-    # ---- forward recompute, keeping per-layer inputs & relu outputs ----
+    def acc_b(idx, db):
+        grad_refs[idx][...] += db.reshape(1, -1)
+
+    # ---- forward recompute, keeping per-layer relu outputs ----
     x = x_ref[:].astype(act)
     v = v_ref[:].astype(act)
-    inputs, relus = [], []
+    relus = []
     h = x
-    for i in range(n_layers):
-        inputs.append(h)
-        r = jnp.maximum(
-            mm(h, wrefs[2 * i][:]) + wrefs[2 * i + 1][:], 0.0
-        ).astype(act)
-        relus.append(r)
-        h = jnp.concatenate([x, r], axis=-1) if i in cfg.skips else r
+    for i, (kind, ri_i) in enumerate(walk):
+        if kind == "skip":
+            z = mm(x, wrefs[ri_i][:]) + mm(h, wrefs[ri_i + 1][:]) \
+                + wrefs[ri_i + 2][:]
+        else:
+            z = mm(h, wrefs[ri_i][:]) + wrefs[ri_i + 1][:]
+        h = jnp.maximum(z, 0.0).astype(act)
+        relus.append(h)
 
-    ri = 2 * n_layers
+    ri = n_pts_refs
     wa, wf = wrefs[ri][:], wrefs[ri + 2][:]
-    wv, wr = wrefs[ri + 4][:], wrefs[ri + 6][:]
+    wvf, wvv = wrefs[ri + 4][:], wrefs[ri + 5][:]
+    wr = wrefs[ri + 7][:]
     h_last = h
     feature = (mm(h_last, wf) + wrefs[ri + 3][:]).astype(act)
-    hv_in = jnp.concatenate([feature, v], axis=-1)
-    z = jnp.maximum(mm(hv_in, wv) + wrefs[ri + 5][:], 0.0).astype(act)
+    z_hv = jnp.maximum(
+        mm(feature, wvf) + mm(v, wvv) + wrefs[ri + 6][:], 0.0).astype(act)
 
     # ---- backward ----
-    g = g_ref[:].astype(jnp.float32)           # [T, 128]
-    lane_idx = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
-    d_rgb = jnp.where(lane_idx == LANE - 1, 0.0, g)
-    d_alpha = jnp.where(lane_idx == 0, g[:, LANE - 1:LANE], 0.0)
+    g = g_ref[:].astype(jnp.float32)           # [T, 2*LANE]
+    d_rgb = g[:, :LANE]                        # aligned slice
+    d_alpha = g[:, LANE:]
 
-    acc(ri + 6, mm_tn(z, d_rgb), jnp.sum(d_rgb, axis=0))      # dWr, dbr
-    dz = mm_nt(d_rgb, wr)
+    acc_w(ri + 7, mm_tn(z_hv, d_rgb))
+    acc_b(ri + 8, jnp.sum(d_rgb, axis=0))
+    dhv = mm_nt(d_rgb, wr)
     # masks compare in f32: the target rejects bf16 comparisons
-    da_v = jnp.where(z.astype(jnp.float32) > 0.0, dz, 0.0)
-    acc(ri + 4, mm_tn(hv_in, da_v), jnp.sum(da_v, axis=0))    # dWv, dbv
-    dhv = mm_nt(da_v, wv)
-    dfeat = dhv[:, :w_p]
-    dv_ref[:] = dhv[:, w_p:]
+    da_v = jnp.where(z_hv.astype(jnp.float32) > 0.0, dhv, 0.0)
+    acc_w(ri + 4, mm_tn(feature, da_v))
+    acc_w(ri + 5, mm_tn(v, da_v))
+    acc_b(ri + 6, jnp.sum(da_v, axis=0))
+    dfeat = mm_nt(da_v, wvf)
+    dv_ref[:] = mm_nt(da_v, wvv)
 
-    acc(ri + 2, mm_tn(h_last, dfeat), jnp.sum(dfeat, axis=0))  # dWf, dbf
-    acc(ri, mm_tn(h_last, d_alpha), jnp.sum(d_alpha, axis=0))  # dWa, dba
+    acc_w(ri + 2, mm_tn(h_last, dfeat))
+    acc_b(ri + 3, jnp.sum(dfeat, axis=0))
+    acc_w(ri, mm_tn(h_last, d_alpha))
+    acc_b(ri + 1, jnp.sum(d_alpha, axis=0))
     dh = mm_nt(dfeat, wf) + mm_nt(d_alpha, wa)
 
     dx = jnp.zeros((x.shape[0], x.shape[1]), jnp.float32)
     for i in range(n_layers - 1, -1, -1):
-        if i in cfg.skips:
-            dx += dh[:, :in_p]
-            dr = dh[:, in_p:]
+        kind, ri_i = walk[i]
+        da = jnp.where(relus[i].astype(jnp.float32) > 0.0, dh, 0.0)
+        acc_b(ri_i + (2 if kind == "skip" else 1), jnp.sum(da, axis=0))
+        inp = x if i == 0 else relus[i - 1]
+        if kind == "skip":
+            acc_w(ri_i, mm_tn(x, da))
+            acc_w(ri_i + 1, mm_tn(inp, da))
+            dx += mm_nt(da, wrefs[ri_i][:])
+            dh = mm_nt(da, wrefs[ri_i + 1][:])
         else:
-            dr = dh
-        da = jnp.where(relus[i].astype(jnp.float32) > 0.0, dr, 0.0)
-        acc(2 * i, mm_tn(inputs[i], da), jnp.sum(da, axis=0))
-        dh = mm_nt(da, wrefs[2 * i][:])
-    dx += dh
+            acc_w(ri_i, mm_tn(inp, da))
+            dh = mm_nt(da, wrefs[ri_i][:])
+        if i == 0:
+            dx += dh
     dx_ref[:] = dx
 
 
@@ -381,10 +410,12 @@ def _backward(params, pts_embed, views_embed, g, cfg: ModelConfig,
     n_pad = n_tiles * tile
     x = jnp.pad(pts_embed, ((0, n_pad - N), (0, in_p - in_ch))).astype(dtype)
     v = jnp.pad(views_embed, ((0, n_pad - N), (0, v_p - vch))).astype(dtype)
-    # cotangent [N, 4] -> kernel layout [N, 128]: rgb cols 0-2, alpha last
-    g128 = jnp.zeros((n_pad, LANE), jnp.float32)
+    # cotangent [N, 4] -> kernel layout [N, 2*LANE]: rgb grads in lanes
+    # 0..2 of the first LANE, density grad in lane LANE (both slots
+    # LANE-aligned, mirroring the forward's output packing)
+    g128 = jnp.zeros((n_pad, 2 * LANE), jnp.float32)
     g128 = g128.at[:N, 0:3].set(g[:, 0:3])
-    g128 = g128.at[:N, LANE - 1].set(g[:, 3])
+    g128 = g128.at[:N, LANE].set(g[:, 3])
 
     weights = _padded_weights(params, cfg, in_p, w_p, v_p, h_p, dtype)
     n_layers = len(params["pts_linears"])
@@ -418,7 +449,7 @@ def _backward(params, pts_embed, views_embed, g, cfg: ModelConfig,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, v_p), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, LANE), lambda i: (i, 0),
+            pl.BlockSpec((tile, 2 * LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             *wspecs,
         ],
@@ -432,32 +463,32 @@ def _backward(params, pts_embed, views_embed, g, cfg: ModelConfig,
     grads = outs[2:]
 
     # ---- unpad the weight grads back into the param pytree layout ----
+    # (split-block layers reassemble as concat([dWx rows, dWh rows]))
     in_ch_, W_ = in_ch, W
+    walk, n_pts_refs = _layer_ref_walk(cfg, n_layers)
     dparams = {"pts_linears": []}
-    gi = 0
-    for i in range(n_layers):
-        dw, db = grads[gi], grads[gi + 1]
-        gi += 2
-        if (i - 1) in cfg.skips:
+    for i, (kind, gi) in enumerate(walk):
+        if kind == "skip":
             w_orig = jnp.concatenate(
-                [dw[:in_ch_, :W_], dw[in_p: in_p + W_, :W_]], axis=0)
+                [grads[gi][:in_ch_, :W_], grads[gi + 1][:W_, :W_]], axis=0)
+            db = grads[gi + 2]
         else:
             rows = params["pts_linears"][i]["w"].shape[0]
-            w_orig = dw[:rows, :W_]
-        dparams["pts_linears"].append(
-            {"w": w_orig, "b": db[0, :W_]})
+            w_orig = grads[gi][:rows, :W_]
+            db = grads[gi + 1]
+        dparams["pts_linears"].append({"w": w_orig, "b": db[0, :W_]})
 
+    gi = n_pts_refs
     dwa, dba = grads[gi], grads[gi + 1]
     dwf, dbf = grads[gi + 2], grads[gi + 3]
-    dwv, dbv = grads[gi + 4], grads[gi + 5]
-    dwr, dbr = grads[gi + 6], grads[gi + 7]
+    dwvf, dwvv, dbv = grads[gi + 4], grads[gi + 5], grads[gi + 6]
+    dwr, dbr = grads[gi + 7], grads[gi + 8]
     vrows = params["views_linears"][0]["w"].shape[0]
     dparams["alpha_linear"] = {"w": dwa[:W_, :1], "b": dba[0, :1]}
     dparams["feature_linear"] = {"w": dwf[:W_, :W_], "b": dbf[0, :W_]}
     dparams["views_linears"] = [{
         "w": jnp.concatenate(
-            [dwv[:W_, : W_ // 2], dwv[w_p: w_p + vrows - W_, : W_ // 2]],
-            axis=0),
+            [dwvf[:W_, : W_ // 2], dwvv[:vrows - W_, : W_ // 2]], axis=0),
         "b": dbv[0, : W_ // 2],
     }]
     dparams["rgb_linear"] = {"w": dwr[: W_ // 2, :3], "b": dbr[0, :3]}
@@ -502,6 +533,12 @@ def apply(params, pts_embed: jnp.ndarray,
     of any leading shape."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
+    if (cfg.netdepth - 1) in cfg.skips:
+        # a final-layer skip concat would feed the heads a two-block
+        # input; no shipped topology does this — use the XLA path
+        from ..core.mlp import apply_mlp
+        return apply_mlp(params, pts_embed,
+                         views_embed, cfg, dtype)
     lead = pts_embed.shape[:-1]
     x = pts_embed.reshape(-1, pts_embed.shape[-1])
     v = None
