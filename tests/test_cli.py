@@ -311,6 +311,30 @@ def test_steps_per_dispatch_exact_count(scene_dir, tmp_path):
     assert int(sd["step"]) == 23
 
 
+def test_pool_mode_occ_grid(scene_dir, tmp_path):
+    """Occupancy grid in POOL (use_batching) mode — the occ x pool
+    interaction: grid-guided slices from the shuffled ray pool, warmup
+    boundary inside the run, sidecar saved (no_batching occ is covered by
+    test_train_occ_grid_cli)."""
+    data_dir, scene_id = scene_dir
+    ckpt_dir = str(tmp_path / "pock")
+    args = [a for a in TINY if a != "--no_batching"]
+    plnerf_main(args + [
+        "--task", "train", "--mode", "linear", "--constant_init", "2",
+        "--steps_per_dispatch", "4", "--num_iterations", "14",
+        "--i_weights", "14", "--data_dir", data_dir,
+        "--scene_id", scene_id, "--ckpt_dir", ckpt_dir, "--expname", "po",
+        "--occ_grid", "--occ_warmup", "6", "--occ_res", "16",
+        "--occ_candidates", "16", "--occ_bound", "1.5",
+    ])
+    exp = os.path.join(ckpt_dir, "po")
+    assert os.path.exists(os.path.join(exp, "000014.ckpt"))
+    assert os.path.exists(os.path.join(exp, "000014.occ"))
+    log = [json.loads(l) for l in open(os.path.join(exp, "metrics.jsonl"))]
+    assert all(np.isfinite(r["train/loss"]) for r in log
+               if "train/loss" in r)
+
+
 def test_pool_epoch_tail_consumed(scene_dir, tmp_path):
     """Pool (use_batching) mode must consume the epoch tail with full-batch
     remainder steps before reshuffling (reference consumes every ray,
