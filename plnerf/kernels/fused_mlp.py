@@ -40,10 +40,14 @@ first, they changed the story twice:
   (``RenderConfig.use_pallas_mlp`` / ``--use_pallas``).
 * tools/mosaic_probe.py: pure Mosaic matmul chains at these shapes
   sustain ~81 TFLOP/s — dependency chains, bias and relu are all free.
-  The forward kernel runs at 64 ms where its pure-matmul equivalent is
-  ~45 ms; removing every in-kernel concat (split-block weights, aligned
-  two-slot output) did NOT move it, so the residual gap sits in the
-  mixed-K/narrow-head dot shapes, not in relayouts.
+  The forward kernel runs at ~64-66 ms where its pure-matmul equivalent
+  is ~45 ms, and the gap is structure-INSENSITIVE: removing every
+  in-kernel concat (split-block weights, aligned two-slot output),
+  fusing the alpha+feature heads into one wide dot, interleaving
+  independent chains, and tile 512/1024/2048 all measure within noise.
+  Each falsified hypothesis is kept in the code (they simplify it);
+  the residual is attributed to fixed Mosaic overhead on this kernel
+  shape and left as is.
 * Mosaic constraints: matmul accumulators must be 32-bit (bf16
   preferred_element_type rejected); bf16 comparisons rejected (masks
   compare in f32).  Recompute lists are stored bf16 (numerically
@@ -105,12 +109,16 @@ def _padded_weights(params, cfg: ModelConfig, in_p: int, w_p: int,
                         _pad_bias(b, w_p)]
 
     if cfg.use_viewdirs:
-        tensors += [
-            _pad2(params["alpha_linear"]["w"], w_p, LANE).astype(dtype),
-            _pad_bias(params["alpha_linear"]["b"], LANE),
-            _pad2(params["feature_linear"]["w"], w_p, w_p).astype(dtype),
-            _pad_bias(params["feature_linear"]["b"], w_p),
-        ]
+        # feature + alpha heads read the same h: fuse into ONE
+        # [w_p, w_p + LANE] dot (feature in lanes 0..w_p-1, alpha in lane
+        # w_p) — one wide dot beats a wide + a narrow one on the MXU
+        wf, bf = params["feature_linear"]["w"], params["feature_linear"]["b"]
+        wa, ba = params["alpha_linear"]["w"], params["alpha_linear"]["b"]
+        waf = jnp.zeros((w_p, w_p + LANE), wf.dtype)
+        waf = waf.at[:W, :W].set(wf).at[:W, w_p:w_p + 1].set(wa)
+        baf = jnp.zeros((1, w_p + LANE), jnp.float32)
+        baf = baf.at[0, :W].set(bf).at[0, w_p].set(ba[0])
+        tensors += [waf.astype(dtype), baf]
         # views layer input [feature | views]: split blocks
         vw = params["views_linears"][0]["w"]
         tensors += [
@@ -170,12 +178,14 @@ def _kernel(cfg: ModelConfig, n_pts_layers: int, dtype,
         h = jnp.maximum(z, 0.0)
 
     if cfg.use_viewdirs:
-        alpha = mm(h, wrefs[ri]) + wrefs[ri + 1][:]          # [T, LANE]
-        feature = mm(h, wrefs[ri + 2]) + wrefs[ri + 3][:]    # [T, w_p]
+        w_p = wrefs[ri].shape[0]
+        fa = mm(h, wrefs[ri]) + wrefs[ri + 1][:]   # [T, w_p + LANE]
+        feature = fa[:, :w_p]
+        alpha = fa[:, w_p:]                        # [T, LANE], lane 0 live
         hv = jnp.maximum(
-            mm(feature, wrefs[ri + 4]) + mm(v_ref[:], wrefs[ri + 5])
-            + wrefs[ri + 6][:], 0.0)
-        rgb = mm(hv, wrefs[ri + 7]) + wrefs[ri + 8][:]       # [T, LANE]
+            mm(feature, wrefs[ri + 2]) + mm(v_ref[:], wrefs[ri + 3])
+            + wrefs[ri + 4][:], 0.0)
+        rgb = mm(hv, wrefs[ri + 5]) + wrefs[ri + 6][:]       # [T, LANE]
         out_ref[:, :LANE] = rgb
         out_ref[:, LANE:] = alpha
     else:
@@ -286,7 +296,7 @@ def _bwd_kernel(cfg: ModelConfig, n_layers: int, dtype, in_p, w_p, v_p, h_p,
     grid).
     """
     walk, n_pts_refs = _layer_ref_walk(cfg, n_layers)
-    n_w = n_pts_refs + 9              # + heads: wa ba wf bf wvf wvv bv wr br
+    n_w = n_pts_refs + 7              # + heads: waf baf wvf wvv bv wr br
     wrefs = refs[:n_w]
     outs = refs[n_w:]
     dx_ref, dv_ref = outs[0], outs[1]
@@ -344,35 +354,37 @@ def _bwd_kernel(cfg: ModelConfig, n_layers: int, dtype, in_p, w_p, v_p, h_p,
         relus.append(h)
 
     ri = n_pts_refs
-    wa, wf = wrefs[ri][:], wrefs[ri + 2][:]
-    wvf, wvv = wrefs[ri + 4][:], wrefs[ri + 5][:]
-    wr = wrefs[ri + 7][:]
+    waf = wrefs[ri][:]                         # fused feature|alpha
+    wvf, wvv = wrefs[ri + 2][:], wrefs[ri + 3][:]
+    wr = wrefs[ri + 5][:]
     h_last = h
-    feature = (mm(h_last, wf) + wrefs[ri + 3][:]).astype(act)
+    fa = mm(h_last, waf) + wrefs[ri + 1][:]    # [T, w_p + LANE]
+    feature = fa[:, :w_p].astype(act)
     z_hv = jnp.maximum(
-        mm(feature, wvf) + mm(v, wvv) + wrefs[ri + 6][:], 0.0).astype(act)
+        mm(feature, wvf) + mm(v, wvv) + wrefs[ri + 4][:], 0.0).astype(act)
 
     # ---- backward ----
     g = g_ref[:].astype(jnp.float32)           # [T, 2*LANE]
     d_rgb = g[:, :LANE]                        # aligned slice
     d_alpha = g[:, LANE:]
 
-    acc_w(ri + 7, mm_tn(z_hv, d_rgb))
-    acc_b(ri + 8, jnp.sum(d_rgb, axis=0))
+    acc_w(ri + 5, mm_tn(z_hv, d_rgb))
+    acc_b(ri + 6, jnp.sum(d_rgb, axis=0))
     dhv = mm_nt(d_rgb, wr)
     # masks compare in f32: the target rejects bf16 comparisons
     da_v = jnp.where(z_hv.astype(jnp.float32) > 0.0, dhv, 0.0)
-    acc_w(ri + 4, mm_tn(feature, da_v))
-    acc_w(ri + 5, mm_tn(v, da_v))
-    acc_b(ri + 6, jnp.sum(da_v, axis=0))
+    acc_w(ri + 2, mm_tn(feature, da_v))
+    acc_w(ri + 3, mm_tn(v, da_v))
+    acc_b(ri + 4, jnp.sum(da_v, axis=0))
     dfeat = mm_nt(da_v, wvf)
     dv_ref[:] = mm_nt(da_v, wvv)
 
-    acc_w(ri + 2, mm_tn(h_last, dfeat))
-    acc_b(ri + 3, jnp.sum(dfeat, axis=0))
-    acc_w(ri, mm_tn(h_last, d_alpha))
-    acc_b(ri + 1, jnp.sum(d_alpha, axis=0))
-    dh = mm_nt(dfeat, wf) + mm_nt(d_alpha, wa)
+    # fused dW_af / db_af: accumulate into aligned slices of the refs
+    grad_refs[ri][:, :w_p] += mm_tn(h_last, dfeat)
+    grad_refs[ri][:, w_p:] += mm_tn(h_last, d_alpha)
+    grad_refs[ri + 1][:, :w_p] += jnp.sum(dfeat, axis=0).reshape(1, -1)
+    grad_refs[ri + 1][:, w_p:] += jnp.sum(d_alpha, axis=0).reshape(1, -1)
+    dh = mm_nt(dfeat, waf[:, :w_p]) + mm_nt(d_alpha, waf[:, w_p:])
 
     dx = jnp.zeros((x.shape[0], x.shape[1]), jnp.float32)
     for i in range(n_layers - 1, -1, -1):
@@ -479,13 +491,13 @@ def _backward(params, pts_embed, views_embed, g, cfg: ModelConfig,
         dparams["pts_linears"].append({"w": w_orig, "b": db[0, :W_]})
 
     gi = n_pts_refs
-    dwa, dba = grads[gi], grads[gi + 1]
-    dwf, dbf = grads[gi + 2], grads[gi + 3]
-    dwvf, dwvv, dbv = grads[gi + 4], grads[gi + 5], grads[gi + 6]
-    dwr, dbr = grads[gi + 7], grads[gi + 8]
+    dwaf, dbaf = grads[gi], grads[gi + 1]
+    dwvf, dwvv, dbv = grads[gi + 2], grads[gi + 3], grads[gi + 4]
+    dwr, dbr = grads[gi + 5], grads[gi + 6]
     vrows = params["views_linears"][0]["w"].shape[0]
-    dparams["alpha_linear"] = {"w": dwa[:W_, :1], "b": dba[0, :1]}
-    dparams["feature_linear"] = {"w": dwf[:W_, :W_], "b": dbf[0, :W_]}
+    dparams["alpha_linear"] = {"w": dwaf[:W_, w_p:w_p + 1],
+                               "b": dbaf[0, w_p:w_p + 1]}
+    dparams["feature_linear"] = {"w": dwaf[:W_, :W_], "b": dbaf[0, :W_]}
     dparams["views_linears"] = [{
         "w": jnp.concatenate(
             [dwvf[:W_, : W_ // 2], dwvv[:vrows - W_, : W_ // 2]], axis=0),
