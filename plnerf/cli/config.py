@@ -217,8 +217,9 @@ def add_occ_flags(a) -> None:
            "(visited-only mean-EMA; see core/occgrid.update_grid)")
     a("--occ_threshold", type=float, default=1e-2,
       help="density above which a cell counts as occupied")
-    a("--occ_floor", type=float, default=0.01,
-      help="PDF floor for unoccupied candidate bins")
+    a("--occ_floor", type=float, default=0.03,
+      help="PDF floor for unoccupied candidate bins (also the coarse "
+           "net's only empty-space training signal — see OccGridConfig)")
 
 
 # CLI fields preserved (from the command line) when reloading args.json for

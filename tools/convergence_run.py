@@ -87,7 +87,7 @@ def eval_test(state, ds, mcfg, rcfg, n_views, seed, pixel_center=False,
     return out
 
 
-def run_nvs(mode, iters, tiny, slab=True):
+def run_nvs(mode, iters, tiny, slab=True, occ_floor=0.03):
     """mode: constant | linear | occ (linear recipe with occupancy-grid
     guided coarse sampling, 32 guided + 64 importance — the quality half
     of the occ-grid >=2x claim; throughput half lives in bench.py).
@@ -111,7 +111,8 @@ def run_nvs(mode, iters, tiny, slab=True):
               ((32, 64) if use_occ else
                ((128, 64) if mode == "linear" else (64, 128))))
     n_rand = 256 if tiny else 1024
-    occ_cfg = og.OccGridConfig(resolution=128, candidates=96) \
+    occ_cfg = og.OccGridConfig(resolution=128, candidates=96,
+                               floor=occ_floor) \
         if use_occ else None
     rcfg = RenderConfig(n_samples=ns, n_importance=ni, mode=qmode,
                         white_bkgd=True, perturb=True,
@@ -192,7 +193,7 @@ def run_nvs(mode, iters, tiny, slab=True):
           "elapsed_s": round(time.time() - t0, 1)})
 
 
-def run_depth(iters, tiny, use_occ=False, slab=True):
+def run_depth(iters, tiny, use_occ=False, slab=True, occ_floor=0.03):
     """Depth-supervised convergence; ``use_occ`` runs the same recipe with
     occupancy-grid guided coarse sampling (32 guided + 64, grid engaged
     from the start — the depth driver's own warmup is exercised by the
@@ -213,7 +214,8 @@ def run_depth(iters, tiny, use_occ=False, slab=True):
         pi_bands=True, density_activation="softplus10", init="xavier")
     ns, ni = ((32, 16) if tiny else ((32, 64) if use_occ else (128, 64)))
     n_rand = 256 if tiny else 1024
-    occ_cfg = og.OccGridConfig(resolution=128, candidates=96) \
+    occ_cfg = og.OccGridConfig(resolution=128, candidates=96,
+                               floor=occ_floor) \
         if use_occ else None
     rcfg = RenderConfig(
         n_samples=ns, n_importance=ni, mode="linear", white_bkgd=True,
@@ -275,6 +277,7 @@ def main():
                              "depth-occ", "all"])
     ap.add_argument("--iters", type=int, default=8000)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--occ_floor", type=float, default=0.03)
     ap.add_argument("--scene", default="slab", choices=["slab", "sparse"],
                     help="slab: spheres + checkered ground slab; sparse: "
                          "spheres only (object-centric, mostly empty rays "
@@ -287,9 +290,10 @@ def main():
     for m in modes:
         if m in ("depth", "depth-occ"):
             run_depth(args.iters, args.tiny, use_occ=m == "depth-occ",
-                      slab=slab)
+                      slab=slab, occ_floor=args.occ_floor)
         else:
-            run_nvs(m, args.iters, args.tiny, slab=slab)
+            run_nvs(m, args.iters, args.tiny, slab=slab,
+                    occ_floor=args.occ_floor)
 
 
 if __name__ == "__main__":
