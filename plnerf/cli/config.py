@@ -208,8 +208,10 @@ def add_occ_flags(a) -> None:
       help="uniform candidate bins tested against the grid per ray")
     a("--occ_warmup", type=int, default=256,
       help="steps of plain uniform sampling before the grid engages "
-           "(the grid is checkpointed as a <step>.occ sidecar and restored "
-           "on resume and by eval tasks)")
+           "(absolute step count; the grid is checkpointed as a "
+           "<step>.occ sidecar, restored on resume and by eval tasks, and "
+           "a restored grid engages immediately — only a fresh grid "
+           "re-warms from the resume point)")
     a("--occ_bound", type=float, default=1.5,
       help="scene half-extent: grid covers [-b, b]^3")
     a("--occ_decay", type=float, default=0.7,
@@ -220,6 +222,11 @@ def add_occ_flags(a) -> None:
     a("--occ_floor", type=float, default=0.03,
       help="PDF floor for unoccupied candidate bins (also the coarse "
            "net's only empty-space training signal — see OccGridConfig)")
+    a("--occ_eval_fresh_grid", action="store_true",
+      help="allow --occ_grid eval tasks to proceed with a fresh "
+           "all-occupied grid when no <step>.occ sidecar exists next to "
+           "the checkpoint (otherwise an error: an occ-trained model "
+           "must be scored under its own sample distribution)")
 
 
 # CLI fields preserved (from the command line) when reloading args.json for
@@ -235,6 +242,7 @@ _TEST_OVERRIDES = [
     # would silently replace the trained values with defaults.
     "lpips_weights", "render_test", "render_factor", "render_only",
     "ft_path", "no_reload", "no_mesh", "use_pallas", "profile", "debug",
+    "occ_eval_fresh_grid",
 ]
 
 

@@ -36,7 +36,7 @@ from ..train import batching
 from ..train.step import TrainSetup, init_state, make_depth_train_step
 from ..utils.logging import MetricsLogger
 from .config import ConfigArgumentParser, add_occ_flags, str2bool
-from .run_plnerf import (_fresh_occ_grid, _shard, get_mesh,
+from .run_plnerf import (_fresh_occ_grid, _occ_advisory, _shard, get_mesh,
                          occ_cfg_from_args, occ_for_eval)
 
 
@@ -264,28 +264,42 @@ def run_training(args, data, setup, mcfg, rcfg):
         state = state.replace(
             depth_shifts=state.depth_shifts + args.shift_init)
     start = 0
+    ckpt_path = None
     if not args.no_reload:
         path = ckio.latest_checkpoint(exp_dir(args))
         if path:
             state = ckio.restore_checkpoint(path, state)
             start = int(state.step)
+            ckpt_path = path
             print(f"Resumed from {path} at step {start}")
     if mesh is not None:
         state = pmesh.replicate(state, mesh)
 
     # occupancy grid (flag-gated TPU perf path, shared with run_plnerf;
-    # sidecar-checkpointed as <step>.occ)
+    # sidecar-checkpointed as <step>.occ and restored from next to the
+    # checkpoint actually loaded)
     occ_cfg = occ_cfg_from_args(args)
     occ_state = None
+    occ_restored = False
     if occ_cfg is not None:
         occ_state = _fresh_occ_grid(args, occ_cfg)
-        if start > 0:
-            gp = ckio.aux_path(
-                os.path.join(exp_dir(args), f"{start:06d}.ckpt"), "occ")
+        if ckpt_path is not None:
+            gp = ckio.aux_path(ckpt_path, "occ")
             if os.path.exists(gp):
                 occ_state = ckio.restore_checkpoint(gp, occ_state)
+                occ_restored = True
+            else:
+                print(f"WARNING: resuming --occ_grid run but no sidecar "
+                      f"grid at {gp} — starting a fresh grid with a new "
+                      f"{args.occ_warmup}-step warmup")
         if mesh is not None:
             occ_state = pmesh.replicate(occ_state, mesh)
+    # restored grids engage immediately past the absolute warmup step;
+    # fresh grids re-warm from the resume point (see run_plnerf)
+    occ_warm_end = 0
+    if occ_cfg is not None:
+        occ_warm_end = (args.occ_warmup if occ_restored
+                        else start + args.occ_warmup)
 
     # GT depth as the (single) space-carving hypothesis
     # (reference :1068-1070: gt_depths_train unsqueezed to hypothesis dim)
@@ -318,12 +332,13 @@ def run_training(args, data, setup, mcfg, rcfg):
     rng = np.random.default_rng(args.random_seed)
     t0 = time.time()
     steps_since_print = 0
+    occ_warned = False
     i0 = start + 1
     while i0 <= args.num_iterations:
-        occ_on = occ_cfg is not None and i0 > start + args.occ_warmup
+        occ_on = occ_cfg is not None and i0 > occ_warm_end
         # split the dispatch window at the occ-warmup boundary so one jit
         # cache per phase suffices (mirrors run_plnerf's phase windows)
-        nb = (start + args.occ_warmup + 1
+        nb = (occ_warm_end + 1
               if occ_cfg is not None and not occ_on
               else args.num_iterations + 1)
         window_end = min(i0 + n_inner - 1, nb - 1, args.num_iterations)
@@ -366,6 +381,10 @@ def run_training(args, data, setup, mcfg, rcfg):
             print(f"[DEPTH TRAIN] Iter: {i} Loss: {m['loss']:.5f} "
                   f"PSNR: {m['psnr']:.2f} SC: "
                   f"{m.get('space_carving_loss', 0.0):.5f}")
+            if occ_on:
+                # depth supervision usually closes the degenerate-scene
+                # gap (BASELINE.md), but surface the signal anyway
+                occ_warned = _occ_advisory(m, i, occ_warm_end, occ_warned)
         if fires(args.i_img) and len(i_val) > 0:
             # val view + depth RMSE (reference tb images, :1203-1232)
             vi = int(i_val[(i // args.i_img) % len(i_val)])

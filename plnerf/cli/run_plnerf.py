@@ -80,6 +80,9 @@ def exp_dir(args) -> str:
 
 
 def restore_or_init(args, setup: TrainSetup):
+    """Returns ``(state, start, ckpt_path)`` — ``ckpt_path`` is the file the
+    state was actually restored from (``--ft_path`` may point outside
+    exp_dir; sidecar lookups must follow it), or None on fresh init."""
     state = init_state(jax.random.PRNGKey(args.seed), setup)
     start = 0
     path = None
@@ -91,7 +94,8 @@ def restore_or_init(args, setup: TrainSetup):
         state = ckio.restore_checkpoint(path, state)
         start = int(state.step)
         print(f"Resumed from {path} at step {start}")
-    return state, start
+        return state, start, path
+    return state, start, None
 
 
 def get_mesh(args):
@@ -123,10 +127,13 @@ def _fresh_occ_grid(args, occ_cfg):
 
 def occ_for_eval(args):
     """(occ_cfg, grid) for a standalone eval task: the sidecar grid saved
-    next to the checkpoint under evaluation, or a fresh all-occupied grid
-    (== uniform stratified sampling) when none exists.  Occ-trained coarse
-    networks only see grid-guided sample distributions, so eval must use
-    the same guidance (see eval/images.render_image)."""
+    next to the checkpoint under evaluation.  Occ-trained coarse networks
+    only see grid-guided sample distributions, so eval must use the same
+    guidance (see eval/images.render_image).  A missing sidecar next to an
+    existing checkpoint is an error — scoring an occ-trained model under a
+    fresh (uniform-equivalent) grid silently evaluates it under a sample
+    distribution it never trained with; pass --occ_eval_fresh_grid to
+    override deliberately."""
     occ_cfg = occ_cfg_from_args(args)
     if occ_cfg is None:
         return None, None
@@ -137,15 +144,61 @@ def occ_for_eval(args):
         gp = ckio.aux_path(path, "occ")
         if os.path.exists(gp):
             grid = ckio.restore_checkpoint(gp, grid)
-        else:
+        elif getattr(args, "occ_eval_fresh_grid", False):
             print("WARNING: --occ_grid eval but no sidecar grid at",
-                  gp, "— using a fresh (uniform) grid")
+                  gp, "— using a fresh (uniform) grid "
+                  "(--occ_eval_fresh_grid)")
+        else:
+            raise FileNotFoundError(
+                f"--occ_grid eval: no sidecar grid at {gp}. The model "
+                "under evaluation was loaded from a checkpoint without a "
+                "trained occupancy grid; evaluating it grid-guided with a "
+                "fresh all-occupied grid would mis-score it. Pass "
+                "--occ_eval_fresh_grid to do that deliberately, or drop "
+                "--occ_grid to evaluate with uniform sampling.")
     return occ_cfg, grid
 
 
 # ---------------------------------------------------------------------------
 # train
 # ---------------------------------------------------------------------------
+
+# Guard rail: mean occupied fraction of candidate bins along training rays
+# above which grid guidance is degenerate — the grid can't skip anything,
+# and spreading n_samples over the (still-huge) occupied span trains WORSE
+# than uniform sampling at the reference's full sample count (measured
+# -1.7 dB / -0.13 SSIM on the slab fixture at 8k iters, BASELINE.md).
+OCC_DEGENERATE_RAY_FRAC = 0.6
+
+# Steps past warmup before the advisory arms: the grid inits all-occupied
+# and visited empty voxels carve in ~7 observations (core/occgrid.decay),
+# so every scene reads "degenerate" for the first ~1-2k guided steps while
+# the EMA converges; only a reading AFTER the carve-in window indicates
+# scene geometry rather than a cold grid.
+OCC_ADVISORY_GRACE = 2048
+
+
+def _occ_advisory(m: dict, step: int, warm_end: int, warned: bool) -> bool:
+    """Print a loud one-time advisory when post-warmup guidance is
+    degenerate (train/step._apply_occ_update reports occ_ray_frac)."""
+    frac = m.get("occ_ray_frac")
+    if (warned or frac is None or frac <= OCC_DEGENERATE_RAY_FRAC
+            or step <= warm_end + OCC_ADVISORY_GRACE):
+        return warned
+    print("=" * 72)
+    print(f"WARNING: occupancy-grid guidance is DEGENERATE at iter {step}: "
+          f"{frac:.0%} of candidate bins along training rays are occupied "
+          f"(> {OCC_DEGENERATE_RAY_FRAC:.0%}).")
+    print("The grid cannot skip meaningful empty space on this scene "
+          "(slab/forward-facing-like geometry spans every ray), so "
+          "--occ_grid only spreads the reduced sample count thinner — "
+          "measured ~1.7 dB WORSE than the uniform path on such scenes "
+          "(BASELINE.md occ A/B). Re-run without --occ_grid (or with the "
+          "full uniform --N_samples) unless depth supervision is active, "
+          "which closes the gap.")
+    print("=" * 72)
+    return True
+
 
 def _shard(x, mesh):
     """Constrain the ray-batch axis onto the mesh so GSPMD splits the whole
@@ -245,7 +298,7 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
         [[data.hwf[2], 0, 0.5 * W], [0, data.hwf[2], 0.5 * H], [0, 0, 1]],
         np.float32,
     )
-    state, start = restore_or_init(args, setup)
+    state, start, ckpt_path = restore_or_init(args, setup)
     logger = MetricsLogger(exp_dir(args))
     mesh = get_mesh(args)
     if mesh is not None:
@@ -261,15 +314,30 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
     # the trained grid, not a re-warming one.
     occ_cfg = occ_cfg_from_args(args)
     occ_state = None
+    occ_restored = False
     if occ_cfg is not None:
         occ_state = _fresh_occ_grid(args, occ_cfg)
-        if start > 0:
-            gp = ckio.aux_path(
-                os.path.join(exp_dir(args), f"{start:06d}.ckpt"), "occ")
+        if ckpt_path is not None:
+            # follow the checkpoint actually loaded (an --ft_path can live
+            # outside exp_dir; its sidecar sits next to it)
+            gp = ckio.aux_path(ckpt_path, "occ")
             if os.path.exists(gp):
                 occ_state = ckio.restore_checkpoint(gp, occ_state)
+                occ_restored = True
+            else:
+                print(f"WARNING: resuming --occ_grid run but no sidecar "
+                      f"grid at {gp} — starting a fresh grid with a new "
+                      f"{args.occ_warmup}-step warmup")
         if mesh is not None:
             occ_state = pmesh.replicate(occ_state, mesh)
+    # warmup semantics: a fresh grid warms up for occ_warmup steps from
+    # wherever training (re)starts; a restored sidecar grid is already
+    # trained, so guidance engages immediately once past the absolute
+    # warmup step (no re-warming on every resume)
+    occ_warm_end = 0
+    if occ_cfg is not None:
+        occ_warm_end = (args.occ_warmup if occ_restored
+                        else start + args.occ_warmup)
 
     # step variants: (constant_init x precrop x occ) jit-cached via
     # TrainSetup
@@ -341,11 +409,12 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
         b for b in (
             args.constant_init if rcfg.mode == "linear" else 0,
             0 if use_batching else args.precrop_iters,
-            (start + args.occ_warmup + 1) if occ_cfg is not None else 0,
+            (occ_warm_end + 1) if occ_cfg is not None else 0,
         ) if b > 0
     })
     t0 = time.time()
     steps_since_print = 0
+    occ_warned = False
     i0 = start + 1
     while i0 <= n_iters:
         nb = next((b for b in boundaries if b > i0), n_iters + 1)
@@ -370,7 +439,7 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
                   os.path.join(exp_dir(args), "profile"))
 
         const_init = i0 < args.constant_init and rcfg.mode == "linear"
-        occ_on = occ_cfg is not None and i0 > start + args.occ_warmup
+        occ_on = occ_cfg is not None and i0 > occ_warm_end
 
         def run_window(step_pair, *data_args, pool_offsets=None):
             """Run this window's steps; updates state (and the occ grid
@@ -427,6 +496,8 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
             logger.scalars(i, m, prefix="train/")
             print(f"[TRAIN] Iter: {i} Loss: {m['loss']:.5f} "
                   f"PSNR: {m['psnr']:.2f} ({m['steps_per_sec']:.1f} it/s)")
+            if occ_on:
+                occ_warned = _occ_advisory(m, i, occ_warm_end, occ_warned)
             if getattr(args, "debug", False):
                 bad = [k for k, v in m.items() if not np.isfinite(v)]
                 if bad:
@@ -480,7 +551,7 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
 # ---------------------------------------------------------------------------
 
 def _load_state_for_eval(args, setup):
-    state, start = restore_or_init(args, setup)
+    state, start, _ = restore_or_init(args, setup)
     if start == 0 and not args.no_reload:
         print("WARNING: no checkpoint found — evaluating fresh init")
     return state

@@ -173,3 +173,38 @@ def make_dtu_scene(root_dir, scene_id=5):
         with open(os.path.join(cam_dir, f"{i:08d}_cam.txt"), "w") as f:
             f.write("\n".join(lines) + "\n")
     return root_dir
+
+
+def make_dtu2_scene(root_dir, scene_id=5):
+    """IDR-style DTU layout: scan{id}/image/%06d.png (49 views) +
+    cameras.npz with world_mat_i (P = K @ [R|t]) and scale_mat_i."""
+    from plnerf.data.dtu import N_VIEWS
+
+    scene_dir = os.path.join(root_dir, f"scan{scene_id}")
+    img_dir = os.path.join(scene_dir, "image")
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.default_rng(7)
+    cams = {}
+    for i in range(N_VIEWS):
+        c2w = pose_spherical_np(-180 + i * 360.0 / N_VIEWS, -30.0, 4.0)
+        img = render_sphere_image(c2w, H, W, _focal(), white_bkgd=True)
+        _write_png(os.path.join(img_dir, f"{i:06d}.png"), img)
+        # synthetic but well-formed projection: proper rotation (QR with
+        # positive-diagonal fix), camera center near the sphere shell
+        q, r = np.linalg.qr(rng.normal(size=(3, 3)))
+        q = q * np.sign(np.diagonal(r))
+        if np.linalg.det(q) < 0:
+            q[:, 0] = -q[:, 0]
+        center = rng.normal(size=3) * 0.5 + np.array([0.0, 0.0, 4.0])
+        t = -q @ center
+        K = np.array([[2 * _focal(), 0, W / 2],
+                      [0, 2 * _focal(), H / 2], [0, 0, 1.0]])
+        P = np.eye(4)
+        P[:3] = K @ np.concatenate([q, t[:, None]], axis=1)
+        cams[f"world_mat_{i}"] = P
+        scale = np.eye(4)
+        scale[0, 0] = scale[1, 1] = scale[2, 2] = 2.5
+        scale[:3, 3] = [0.1, -0.2, 0.3]
+        cams[f"scale_mat_{i}"] = scale
+    np.savez(os.path.join(scene_dir, "cameras.npz"), **cams)
+    return root_dir
