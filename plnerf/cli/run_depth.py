@@ -30,6 +30,7 @@ from ..core.config import ModelConfig, RenderConfig
 from ..core import rays as raysmod
 from ..data import blender as dblender
 from ..eval import images as EI
+from ..eval import metrics as Mx
 from ..eval.lpips import load_lpips
 from ..parallel import mesh as pmesh
 from ..train import batching
@@ -398,7 +399,7 @@ def run_training(args, data, setup, mcfg, rcfg):
             )
             val_mse = float(np.mean(
                 (out["rgb_map"] - np.asarray(data.images[vi])) ** 2))
-            rec = {"mse": val_mse, "psnr": -10 * np.log10(val_mse)}
+            rec = {"mse": val_mse, "psnr": Mx.mse2psnr(val_mse)}
             if data.gt_depths is not None:
                 gt = np.asarray(data.gt_depths[vi])[..., 0]
                 valid = np.asarray(data.gt_valid_depths[vi]).astype(bool)

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from ..checkpoint import io as ckio
 from ..core.config import ModelConfig, RenderConfig
 from ..eval import images as EI
+from ..eval import metrics as Mx
 from ..eval.lpips import load_lpips
 from ..parallel import mesh as pmesh
 from ..train import batching
@@ -524,7 +525,7 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
             val_mse = float(np.mean(
                 (out["rgb_map"] - np.asarray(data.images[vi])) ** 2))
             logger.scalars(i, {"mse": val_mse,
-                               "psnr": -10 * np.log10(val_mse)},
+                               "psnr": Mx.mse2psnr(val_mse)},
                            prefix="val/")
             logger.image(i, "val/rgb", np.clip(out["rgb_map"], 0, 1))
 

@@ -282,7 +282,7 @@ def render_images_with_metrics(
         )
         rgb = np.clip(out["rgb_map"], 0.0, 1.0)
         img_loss = float(np.mean((out["rgb_map"] - target) ** 2))
-        psnr = -10.0 * np.log10(img_loss)
+        psnr = M.mse2psnr(img_loss)
         metrics = {
             "img_loss": img_loss,
             "psnr": psnr,
@@ -310,7 +310,7 @@ def render_images_with_metrics(
             have_coarse = True
             img_loss0 = float(np.mean((out["rgb0"] - target) ** 2))
             metrics.update(
-                {"img_loss0": img_loss0, "psnr0": -10.0 * np.log10(img_loss0)}
+                {"img_loss0": img_loss0, "psnr0": M.mse2psnr(img_loss0)}
             )
             res["rgbs0"].append(np.clip(out["rgb0"], 0, 1))
             res["depths0"].append(out["depth0"] / far)

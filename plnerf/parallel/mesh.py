@@ -57,11 +57,29 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(jax.numpy.asarray(x), repl), tree)
 
 
+def _put(x, sharding: NamedSharding):
+    """device_put only when the leaf is not already laid out as asked —
+    an already-placed jax.Array passes through untouched, so calling the
+    wrapper below every step does NOT re-stage the state."""
+    if (isinstance(x, jax.Array)
+            and getattr(x, "sharding", None) is not None
+            and x.sharding.is_equivalent_to(sharding, x.ndim)):
+        return x
+    return jax.device_put(x, sharding)
+
+
 def make_parallel_train_step(step_fn, mesh: Mesh, spec_overrides=None):
     """Wrap a jitted train step for DP execution: state replicated, batch
     sharded along rays, RNG key replicated.  The per-example photometric
     loss is a mean over the full (global) ray batch, so under SPMD the
     gradient all-reduce (psum over ICI) is inserted by XLA automatically.
+
+    Intended use: one-shot harnesses and the multichip dryrun, where the
+    state arrives host-side.  Placement is idempotent — leaves already
+    holding the requested sharding are passed through, so per-step calls
+    do not add host transfers — but a production loop should still place
+    the state once with ``replicate`` and use sharding constraints inside
+    the step (what cli/run_plnerf._make_sampled_step does).
 
     ``spec_overrides``: optional {batch_key: PartitionSpec} for batch
     entries whose leading axis is NOT the ray axis (e.g. the depth step's
@@ -84,10 +102,10 @@ def make_parallel_train_step(step_fn, mesh: Mesh, spec_overrides=None):
     def run(state, batch, key):
         shardings = sharding_of_batch(batch)
         batch = {
-            k: jax.device_put(x, shardings[k]) if x is not None else None
+            k: _put(x, shardings[k]) if x is not None else None
             for k, x in batch.items()
         }
-        state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
+        state = jax.tree.map(lambda x: _put(x, repl), state)
         return step_fn(state, batch, key)
 
     return run
