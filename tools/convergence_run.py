@@ -87,7 +87,8 @@ def eval_test(state, ds, mcfg, rcfg, n_views, seed, pixel_center=False,
     return out
 
 
-def run_nvs(mode, iters, tiny, slab=True, occ_floor=0.03):
+def run_nvs(mode, iters, tiny, slab=True, occ_floor=0.03,
+            lrate_decay=250):
     """mode: constant | linear | occ (linear recipe with occupancy-grid
     guided coarse sampling, 32 guided + 64 importance — the quality half
     of the occ-grid >=2x claim; throughput half lives in bench.py).
@@ -104,6 +105,8 @@ def run_nvs(mode, iters, tiny, slab=True, occ_floor=0.03):
     use_occ = mode == "occ"
     qmode = "linear" if use_occ else mode
     tag = mode if slab else mode + "-sparse"
+    if lrate_decay != 250:  # non-default profile marked in the run tag
+        tag += f"-decay{lrate_decay}"
     ds = build_dataset(tiny, slab=slab)
     mcfg = (ModelConfig(netdepth=4, netwidth=64, skips=(2,), multires=6,
                         multires_views=2) if tiny else ModelConfig())
@@ -117,7 +120,11 @@ def run_nvs(mode, iters, tiny, slab=True, occ_floor=0.03):
     rcfg = RenderConfig(n_samples=ns, n_importance=ni, mode=qmode,
                         white_bkgd=True, perturb=True,
                         mlp_dtype="bfloat16")
-    setup = train_step.TrainSetup(mcfg=mcfg, rcfg=rcfg, lrate=5e-4)
+    # the reference's exponential profile: 0.1x every decay*1000 steps
+    # (run_plnerf.py:1307-1315); 250 is the TrainSetup default and what
+    # every round-2 curve used
+    setup = train_step.TrainSetup(mcfg=mcfg, rcfg=rcfg, lrate=5e-4,
+                                  lrate_decay=lrate_decay)
     state = train_step.init_state(jax.random.key(0), setup)
 
     images_j = jnp.asarray(ds.images)
@@ -278,6 +285,9 @@ def main():
     ap.add_argument("--iters", type=int, default=8000)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--occ_floor", type=float, default=0.03)
+    ap.add_argument("--lrate_decay", type=int, default=250,
+                    help="reference exp-decay profile (x1000 steps to "
+                         "0.1x; NVS modes only)")
     ap.add_argument("--scene", default="slab", choices=["slab", "sparse"],
                     help="slab: spheres + checkered ground slab; sparse: "
                          "spheres only (object-centric, mostly empty rays "
@@ -293,7 +303,8 @@ def main():
                       slab=slab, occ_floor=args.occ_floor)
         else:
             run_nvs(m, args.iters, args.tiny, slab=slab,
-                    occ_floor=args.occ_floor)
+                    occ_floor=args.occ_floor,
+                    lrate_decay=args.lrate_decay)
 
 
 if __name__ == "__main__":

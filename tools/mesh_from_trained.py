@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Close the mesh loop on a TRAINED model (VERDICT r2 item 3): train the
+analytic-sphere blender fixture to convergence through the real CLI
+(cli/run_plnerf), extract a mesh at >=256^3 through cli/extract_mesh
+(checkpoint -> density grid -> native marching cubes -> CC filter ->
+PLY), and compare the extracted surface against the fixture's analytic
+geometry: mean | ||v|| - r | should be below a voxel (2.5/res).
+Reference anchor: nerf_extract_mesh.py:1030-1106.
+
+Appends the result to convergence_runs.jsonl (run=mesh-sphere).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+OUT = "convergence_runs.jsonl"
+RADIUS = 1.0
+
+
+def emit(rec):
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
+def build_scene(n_train=30, n_val=1, n_test=2, H=160, W=160,
+                density=80.0):
+    """Blender-layout sphere scene (sharp boundary: density 80)."""
+    import cv2
+
+    from plnerf.data.synthetic import pose_spherical_np, render_sphere_image
+
+    basedir = os.path.join(CACHE, "mesh_sphere")
+    if os.path.exists(os.path.join(basedir, "transforms_train.json")):
+        return CACHE, "mesh_sphere"
+    os.makedirs(basedir, exist_ok=True)
+    focal = 0.5 * W / np.tan(0.25)
+    camera_angle_x = 2.0 * np.arctan(0.5 * W / focal)
+    rng = np.random.default_rng(0)
+    counts = {"train": n_train, "val": n_val, "test": n_test}
+    k = 0
+    for split, n in counts.items():
+        frames = []
+        for i in range(n):
+            theta = -180 + 360.0 * k / (n_train + n_val + n_test)
+            phi = rng.uniform(-70, -5)
+            c2w = pose_spherical_np(theta, phi, 4.0)
+            img = render_sphere_image(c2w, H, W, focal, RADIUS,
+                                      density, white_bkgd=True)
+            name = f"./{split}/r_{i}"
+            d = os.path.join(basedir, split)
+            os.makedirs(d, exist_ok=True)
+            cv2.imwrite(os.path.join(basedir, f"{split}/r_{i}.png"),
+                        cv2.cvtColor((np.clip(img, 0, 1) * 255).astype(
+                            np.uint8), cv2.COLOR_RGB2BGR))
+            frames.append({"file_path": name,
+                           "transform_matrix": c2w.tolist()})
+            k += 1
+        with open(os.path.join(basedir, f"transforms_{split}.json"),
+                  "w") as f:
+            json.dump({"camera_angle_x": float(camera_angle_x),
+                       "frames": frames}, f)
+    return CACHE, "mesh_sphere"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=6000)
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--ckpt_root", default="/tmp/mesh_study")
+    args = ap.parse_args()
+
+    from plnerf.cli.extract_mesh import main as extract_main
+    from plnerf.cli.run_plnerf import main as plnerf_main
+    from plnerf.mesh.extract import load_ply
+
+    data_dir, scene_id = build_scene()
+    exp = "mesh_sphere"
+    t0 = time.time()
+    plnerf_main([
+        "--task", "train", "--dataset", "blender", "--no_batching",
+        "--use_viewdirs", "--white_bkgd", "--mode", "linear",
+        "--N_rand", "1024", "--N_samples", "128", "--N_importance", "64",
+        "--precrop_iters", "500", "--constant_init", "1000",
+        "--data_dir", data_dir, "--scene_id", scene_id,
+        "--ckpt_dir", args.ckpt_root, "--expname", exp,
+        "--num_iterations", str(args.iters),
+        "--i_weights", str(args.iters), "--i_print", "500",
+        "--i_img", "10000000", "--i_testset", "10000000",
+        "--i_video", "10000000", "--testskip", "1",
+        "--mlp_dtype", "bfloat16", "--steps_per_dispatch", "100",
+    ])
+    train_s = time.time() - t0
+
+    outdir = os.path.join(args.ckpt_root, "meshes")
+    extract_main([
+        "--ckpt_dir", args.ckpt_root, "--expname", exp,
+        "--data_dir", data_dir, "--scene_id", scene_id,
+        "--mesh_res", str(args.res), "--mesh_threshold", "25",
+        "--bbox_min", "-1.25", "-1.25", "-1.25",
+        "--bbox_max", "1.25", "1.25", "1.25",
+        "--min_component_faces", "10000", "--mesh_outdir", outdir,
+    ])
+    ply = os.path.join(
+        outdir, f"{scene_id}_linear_res{args.res}_thresh25_cleaned.ply")
+    verts, faces = load_ply(ply)
+    r = np.linalg.norm(verts, axis=-1)
+    err = np.abs(r - RADIUS)
+    voxel = 2.5 / args.res
+    rec = {
+        "run": "mesh-sphere", "iter": args.iters, "final": True,
+        "res": args.res, "n_verts": int(verts.shape[0]),
+        "n_faces": int(faces.shape[0]),
+        "mean_abs_err": round(float(err.mean()), 5),
+        "p95_abs_err": round(float(np.percentile(err, 95)), 5),
+        "max_abs_err": round(float(err.max()), 5),
+        "voxel": round(voxel, 5),
+        "mean_err_voxels": round(float(err.mean()) / voxel, 2),
+        "train_s": round(train_s, 1),
+        "elapsed_s": round(time.time() - t0, 1),
+    }
+    emit(rec)
+    status = "PASS" if rec["mean_abs_err"] < voxel else "ABOVE-VOXEL"
+    print(f"mesh-from-trained: mean |dist - r| = {rec['mean_abs_err']:.5f} "
+          f"({rec['mean_err_voxels']:.2f} voxels at {args.res}^3) {status}")
+
+
+if __name__ == "__main__":
+    main()
