@@ -38,16 +38,25 @@ first, they changed the story twice:
   Pallas 146.1 vs XLA 144.7 ms/step — parity (round 1 was 6% behind).
   XLA keeps a ~1% edge end-to-end, so the kernel stays OPT-IN
   (``RenderConfig.use_pallas_mlp`` / ``--use_pallas``).
-* tools/mosaic_probe.py: pure Mosaic matmul chains at these shapes
-  sustain ~81 TFLOP/s — dependency chains, bias and relu are all free.
-  The forward kernel runs at ~64-66 ms where its pure-matmul equivalent
-  is ~45 ms, and the gap is structure-INSENSITIVE: removing every
-  in-kernel concat (split-block weights, aligned two-slot output),
-  fusing the alpha+feature heads into one wide dot, interleaving
-  independent chains, and tile 512/1024/2048 all measure within noise.
-  Each falsified hypothesis is kept in the code (they simplify it);
-  the residual is attributed to fixed Mosaic overhead on this kernel
-  shape and left as is.
+* Round-3 DECOMPOSITION of the forward's 64-vs-45 ms residual
+  (tools/dot_decompose.py; full table in BASELINE.md): measuring each
+  of the kernel's five distinct dot shapes alone on resident weights
+  gives per-pass costs that fit  t_pass ~= 2.28 ms + 1.21 ms x
+  (K*N / 32768)  over the 2.63M rows — a per-ROW fixed component
+  (~0.9 MXU-issue cycles/row/dot, tile-size INVARIANT, which is why
+  the round-2 tile sweep was flat) plus the FLOP term.  Narrow dots
+  therefore run at 28-49 TFLOP/s (128x128: 28.5; 256x128: 49.4;
+  128x256: 44.4) while wide ones hit 73-88 (256x256: 73.3; 256x384:
+  87.6).  Sum(count x per-shape pass) predicts 56.1 ms; the exact
+  mixed-shape dot sequence measures 57-59 ms (NO shape-switching
+  cost); the real kernel 63.9 ms — the last ~6 ms is the bias/relu
+  VPU passes + output stores.  dimension_semantics parallel/arbitrary
+  and tile 1024/2048 all move <= 2 ms.  Every ms is accounted for:
+  the kernel runs at the speed its dot shapes intrinsically support,
+  and round 2's "~45 ms pure-matmul equivalent" assumed uniform-
+  (256,256) throughput that the narrow head/input dots cannot reach.
+  Reaching higher would require changing the MLP's layer widths, not
+  the kernel schedule — the residual is closed, not surrendered.
 * Mosaic constraints: matmul accumulators must be 32-bit (bf16
   preferred_element_type rejected); bf16 comparisons rejected (masks
   compare in f32).  Recompute lists are stored bf16 (numerically

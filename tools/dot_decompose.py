@@ -50,18 +50,38 @@ WALK = [
 ]
 
 
-def bench(fn, label, rounds=4):
+class _Stall(Exception):
+    pass
+
+
+def _alarm(_s, _f):
+    raise _Stall()
+
+
+def bench(fn, label, rounds=4, deadline=240):
+    """Per-experiment SIGALRM watchdog (bench.py pattern): a relay stall
+    skips THIS experiment instead of killing the whole probe run."""
+    import signal
+
     import jax
 
-    out = fn()
-    jax.block_until_ready(out)
-    best = None
-    for r in range(rounds):
-        t0 = time.perf_counter()
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(deadline)
+    try:
         out = fn()
-        float(out.reshape(-1)[0])  # value fetch (relay-proof)
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
+        jax.block_until_ready(out)
+        best = None
+        for r in range(rounds):
+            t0 = time.perf_counter()
+            out = fn()
+            float(out.reshape(-1)[0])  # value fetch (relay-proof)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+    except _Stall:
+        print(f"[{label}] STALLED (> {deadline}s) — skipped", flush=True)
+        return None
+    finally:
+        signal.alarm(0)
     print(f"[{label}] best {best * 1e3:8.2f} ms", flush=True)
     return best
 
@@ -129,6 +149,8 @@ def run_shape(k, n_out, reps, tile, semantics=None):
     dt = bench(lambda: f(x, *ws), f"shape K={k:3d} N={n_out:3d} x{reps}"
                + (f" sem={semantics}" if semantics else "")
                + (f" tile={tile}" if tile != T else ""))
+    if dt is None:
+        return None, None
     tput = flops / dt / 1e12
     per_pass = dt / reps
     print(f"    -> {tput:6.1f} TFLOP/s   {per_pass * 1e3:6.2f} ms per "
@@ -195,7 +217,9 @@ def run_mixed(tile, semantics=None):
     label = "mixed-sequence" + (f" sem={semantics}" if semantics else "") \
         + (f" tile={tile}" if tile != T else "")
     dt = bench(lambda: f(x, *ws), label)
-    print(f"    -> {flops / dt / 1e12:6.1f} TFLOP/s effective", flush=True)
+    if dt is not None:
+        print(f"    -> {flops / dt / 1e12:6.1f} TFLOP/s effective",
+              flush=True)
     return dt
 
 
@@ -230,7 +254,8 @@ def main():
         print("=== A. per-shape throughput (resident weights) ===")
         for k, n_out, count in WALK:
             per_pass, tput = run_shape(k, n_out, 13, args.tile)
-            per_pass_times.append((k, n_out, count, per_pass, tput))
+            if per_pass is not None:
+                per_pass_times.append((k, n_out, count, per_pass, tput))
         total = sum(c * p for _, _, c, p, _ in per_pass_times)
         print(f"--- predicted forward matmul time: {total * 1e3:.2f} ms "
               "(sum of count x per-shape pass) ---", flush=True)
