@@ -177,3 +177,28 @@ def test_load_dtu2_golden(tmp_path, half_res):
     assert (ours[6], ours[7]) == (theirs[6], theirs[7])
     assert list(ours[8][0]) == list(theirs[8][0])
     assert list(ours[8][1]) == list(theirs[8][1])
+
+
+def test_make_llff_fixture_loads(tmp_path):
+    """The forward-facing fixture writes the exact LLFF on-disk layout
+    (poses_bounds.npy column order + images/) that load_llff_data
+    consumes: recentering, bd rescale (min bound -> 1/bd_factor), hwf
+    column, and the llffhold-style contract all hold."""
+    from plnerf.data.llff import _poses_avg, load_llff_data
+    from plnerf.data.synthetic import make_llff_fixture
+
+    d = str(tmp_path / "ff")
+    make_llff_fixture(d, n=8, H=24, W=32)
+    images, poses, bds, render_poses, i_test = load_llff_data(d, factor=1)
+    assert images.shape == (8, 24, 32, 3)
+    assert poses.shape == (8, 3, 5)
+    assert np.isfinite(images).all()
+    assert 0.0 <= images.min() and images.max() <= 1.0
+    # bd rescale: min bound lands at 1/bd_factor
+    np.testing.assert_allclose(bds.min(), 1.0 / 0.75, rtol=1e-5)
+    # recentered: average pose at the origin
+    np.testing.assert_allclose(_poses_avg(poses)[:3, 3], 0.0, atol=1e-5)
+    # hwf column carries the rendered image geometry
+    assert (int(poses[0, 0, 4]), int(poses[0, 1, 4])) == (24, 32)
+    assert 0 <= i_test < 8
+    assert render_poses.shape[0] > 0

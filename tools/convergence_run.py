@@ -189,6 +189,10 @@ def run_nvs(mode, iters, tiny, slab=True, occ_floor=0.03,
             if occ_engaged:  # grid health: fraction of sampled-occupied
                 ev["occ_frac"] = round(
                     float(jnp.mean(carry[1]["occ"])), 4)
+                if "occ_ray_frac" in metrics:  # advisory signal (driver
+                    # guard rail threshold 0.6, cli/run_plnerf)
+                    ev["occ_ray_frac"] = round(
+                        float(metrics["occ_ray_frac"]), 4)
             emit({"run": tag, "iter": done,
                   "train_psnr": round(train_psnr, 2), **ev,
                   "elapsed_s": round(time.time() - t0, 1)})
@@ -265,6 +269,9 @@ def run_depth(iters, tiny, use_occ=False, slab=True, occ_floor=0.03):
                            pixel_center=True, occ=occ)
             if use_occ:
                 ev["occ_frac"] = round(float(jnp.mean(carry[1]["occ"])), 4)
+                if "occ_ray_frac" in metrics:
+                    ev["occ_ray_frac"] = round(
+                        float(metrics["occ_ray_frac"]), 4)
             emit({"run": tag, "iter": done,
                   "train_psnr": round(float(metrics["psnr"]), 2),
                   "sc_loss": round(float(metrics["space_carving_loss"]), 5),
