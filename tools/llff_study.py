@@ -81,9 +81,12 @@ def run_recipe(mode: str, segments, ckpt_root: str):
     for seg in segments:
         plnerf_main(base + ["--task", "train",
                             "--num_iterations", str(seg)])
+        # dataset/data_dir/scene_id are _TEST_OVERRIDES (CLI wins over
+        # args.json), so the llff surface must be respecified here
         plnerf_main([
             "--task", "test", "--ckpt_dir", ckpt_root, "--expname", exp,
             "--data_dir", data_dir, "--scene_id", scene_id,
+            "--dataset", "llff",
         ])
         mdir = os.path.join(ckpt_root, exp,
                             f"test_images_{mode}_{ns}_{ni}{scene_id}")

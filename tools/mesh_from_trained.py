@@ -32,9 +32,13 @@ def emit(rec):
     print(json.dumps(rec), flush=True)
 
 
-def build_scene(n_train=30, n_val=1, n_test=2, H=160, W=160,
+def build_scene(n_train=40, n_val=1, n_test=2, H=160, W=160,
                 density=80.0):
-    """Blender-layout sphere scene (sharp boundary: density 80)."""
+    """Blender-layout sphere scene (sharp boundary: density 80).
+    FULL-sphere camera coverage (phi spans both hemispheres): with
+    top-only views the first attempt left the unobserved polar regions
+    as density halos (measured r>1.1 floaters + fog along -z) and the
+    under-constrained interior carved internal isosurfaces."""
     import cv2
 
     from plnerf.data.synthetic import pose_spherical_np, render_sphere_image
@@ -52,7 +56,7 @@ def build_scene(n_train=30, n_val=1, n_test=2, H=160, W=160,
         frames = []
         for i in range(n):
             theta = -180 + 360.0 * k / (n_train + n_val + n_test)
-            phi = rng.uniform(-70, -5)
+            phi = rng.uniform(-85, 85)
             c2w = pose_spherical_np(theta, phi, 4.0)
             img = render_sphere_image(c2w, H, W, focal, RADIUS,
                                       density, white_bkgd=True)
@@ -74,7 +78,7 @@ def build_scene(n_train=30, n_val=1, n_test=2, H=160, W=160,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=6000)
+    ap.add_argument("--iters", type=int, default=15000)
     ap.add_argument("--res", type=int, default=256)
     ap.add_argument("--ckpt_root", default="/tmp/mesh_study")
     args = ap.parse_args()
@@ -116,6 +120,20 @@ def main():
     r = np.linalg.norm(verts, axis=-1)
     err = np.abs(r - RADIUS)
     voxel = 2.5 / args.res
+    # outer-envelope error: per-direction max radius on a 64x32
+    # (azimuth x inclination) bin grid — isolates the OUTER extracted
+    # surface from any interior isosurfaces (a density field's interior
+    # is unconstrained where transmittance ~ 0; the reference pipeline
+    # shares this property, its CC filter only removes detached blobs)
+    u = verts / r[:, None]
+    az = np.clip(((np.arctan2(u[:, 1], u[:, 0]) + np.pi)
+                  / (2 * np.pi) * 64).astype(int), 0, 63)
+    inc = np.clip(((np.arccos(np.clip(u[:, 2], -1, 1)) / np.pi)
+                   * 32).astype(int), 0, 31)
+    bins = az * 32 + inc
+    outer_r = np.zeros(64 * 32)
+    np.maximum.at(outer_r, bins, r)
+    outer_err = np.abs(outer_r[outer_r > 0] - RADIUS)
     rec = {
         "run": "mesh-sphere", "iter": args.iters, "final": True,
         "res": args.res, "n_verts": int(verts.shape[0]),
@@ -125,6 +143,8 @@ def main():
         "max_abs_err": round(float(err.max()), 5),
         "voxel": round(voxel, 5),
         "mean_err_voxels": round(float(err.mean()) / voxel, 2),
+        "outer_mean_abs_err": round(float(outer_err.mean()), 5),
+        "outer_mean_err_voxels": round(float(outer_err.mean()) / voxel, 2),
         "train_s": round(train_s, 1),
         "elapsed_s": round(time.time() - t0, 1),
     }
