@@ -33,8 +33,11 @@ def emit(rec):
 
 
 def build_scene(n_train=40, n_val=1, n_test=2, H=160, W=160,
-                density=80.0):
-    """Blender-layout sphere scene (sharp boundary: density 80).
+                density=300.0):
+    """Blender-layout sphere scene (hard boundary: density 300 puts the
+    rendered surface within ~0.003 of the analytic radius — at 80 the
+    absorption length alone shifts the visible surface ~0.01 inward,
+    and the trained field's threshold crossing landed at r~0.95-0.97).
     FULL-sphere camera coverage (phi spans both hemispheres): with
     top-only views the first attempt left the unobserved polar regions
     as density halos (measured r>1.1 floaters + fog along -z) and the
@@ -80,6 +83,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=15000)
     ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--thresholds", default="25,10",
+                    help="iso thresholds to extract+measure (25 is the "
+                         "reference default)")
     ap.add_argument("--ckpt_root", default="/tmp/mesh_study")
     args = ap.parse_args()
 
@@ -106,16 +112,24 @@ def main():
     train_s = time.time() - t0
 
     outdir = os.path.join(args.ckpt_root, "meshes")
-    extract_main([
-        "--ckpt_dir", args.ckpt_root, "--expname", exp,
-        "--data_dir", data_dir, "--scene_id", scene_id,
-        "--mesh_res", str(args.res), "--mesh_threshold", "25",
-        "--bbox_min", "-1.25", "-1.25", "-1.25",
-        "--bbox_max", "1.25", "1.25", "1.25",
-        "--min_component_faces", "10000", "--mesh_outdir", outdir,
-    ])
+    for thr in args.thresholds.split(","):
+        extract_main([
+            "--ckpt_dir", args.ckpt_root, "--expname", exp,
+            "--data_dir", data_dir, "--scene_id", scene_id,
+            "--mesh_res", str(args.res), "--mesh_threshold", thr,
+            "--bbox_min", "-1.25", "-1.25", "-1.25",
+            "--bbox_max", "1.25", "1.25", "1.25",
+            "--min_component_faces", "10000", "--mesh_outdir", outdir,
+        ])
+        measure(args, outdir, scene_id, thr, train_s, t0)
+
+
+def measure(args, outdir, scene_id, thr, train_s, t0):
+    from plnerf.mesh.extract import load_ply
+
     ply = os.path.join(
-        outdir, f"{scene_id}_linear_res{args.res}_thresh25_cleaned.ply")
+        outdir,
+        f"{scene_id}_linear_res{args.res}_thresh{float(thr):g}_cleaned.ply")
     verts, faces = load_ply(ply)
     r = np.linalg.norm(verts, axis=-1)
     err = np.abs(r - RADIUS)
@@ -136,7 +150,9 @@ def main():
     outer_err = np.abs(outer_r[outer_r > 0] - RADIUS)
     rec = {
         "run": "mesh-sphere", "iter": args.iters, "final": True,
-        "res": args.res, "n_verts": int(verts.shape[0]),
+        "res": args.res, "threshold": float(thr),
+        "frac_within_2vox": round(float((err < 2 * voxel).mean()), 3),
+        "n_verts": int(verts.shape[0]),
         "n_faces": int(faces.shape[0]),
         "mean_abs_err": round(float(err.mean()), 5),
         "p95_abs_err": round(float(np.percentile(err, 95)), 5),
