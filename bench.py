@@ -50,7 +50,11 @@ PER_CHIP_TARGET = TARGET_MULTIPLIER * V100_REFERENCE_RAYS_PER_SEC / 8.0
 N_RAND = 8192        # per-chip ray batch (16384 exceeds v5e HBM w/o remat)
 INNER = 10           # optimization steps fused into one dispatch (lax.scan)
 STEPS_PER_ROUND = 5  # dispatches per round => 50 steps/round
-DEADLINE_S = 560
+# Deep relay stalls of 400-700 s have been observed ONCE per cold
+# session (the settle fetch absorbs them so no counted round is
+# polluted); the global deadline must outlive one such stall plus the
+# real measurement (~150 s of clean rounds).
+DEADLINE_S = 1020
 
 # Results sink: updated after EVERY completed round so a relay stall (the
 # SIGALRM deadline) can never lose an already-measured number — round 1
@@ -92,26 +96,50 @@ def _make_rays(n):
 def _bench_rounds(run_round, points_per_ray, label, n_rounds, key,
                   budget_s=180.0):
     """run_round() executes STEPS_PER_ROUND dispatches and returns the
-    value-fetch-closed wall time.  Each valid round immediately updates
-    ``RESULTS[key]`` (stall-safe); rounds stop at n_rounds or when the
-    per-config time budget is spent."""
+    value-fetch-closed wall time.  Each CLEAN round immediately updates
+    ``RESULTS[key]``.  Two pathologies are handled:
+
+    * rounds FASTER than the per-config FLOP floor are premature relay
+      acks -> discarded;
+    * rounds slower than 50x the floor are relay STALLS (measured
+      2.6-8.2 s/step vs the ~10x-floor real step) -> they do NOT become
+      the recorded number while retries remain; the headline must not
+      report a 410-second stalled round as throughput (observed once in
+      round 3: flagship 996 rays/s, a 57x artifact).  If EVERY round
+      stalled, the best stalled round is recorded anyway (conservative,
+      but present) under a ``*_stalled`` marker in extras.
+
+    Rounds stop at n_rounds or when the per-config time budget is spent
+    AND a clean result exists."""
     floor = _min_step_s(points_per_ray)
+    ceiling = 50.0 * floor          # relay-stall detector
     n_steps = STEPS_PER_ROUND * INNER
     spent = 0.0
+    stalled_best = 0.0
     for r in range(n_rounds):
         dt = run_round(r)
         spent += dt
         per_step = dt / n_steps
         rps = N_RAND * n_steps / dt
-        valid = per_step >= floor
-        tag = "" if valid else "  [DISCARDED: faster than FLOP floor =>" \
-            " premature relay ack]"
+        too_fast = per_step < floor
+        stalled = per_step > ceiling
+        tag = ""
+        if too_fast:
+            tag = "  [DISCARDED: faster than FLOP floor => premature " \
+                "relay ack]"
+        elif stalled:
+            tag = "  [STALL: > 50x FLOP floor — retrying]"
         print(f"[bench] {label} round {r}: {per_step*1e3:.2f} ms/step, "
               f"{rps:,.0f} rays/s{tag}", file=sys.stderr, flush=True)
-        if valid:
+        if not too_fast and not stalled:
             RESULTS[key] = max(RESULTS.get(key, 0.0), rps)
+        elif stalled:
+            stalled_best = max(stalled_best, rps)
         if spent > budget_s and key in RESULTS:
             break
+    if key not in RESULTS and stalled_best > 0.0:
+        RESULTS[key] = stalled_best
+        RESULTS[key + "_stalled"] = True
     return RESULTS.get(key)
 
 
@@ -176,7 +204,11 @@ def _bench_train(mode, n_samples, n_importance, n_rounds, occ=False):
     key = jax.random.key(2)
     for _ in range(2):  # compile + settle dispatch caches
         carry, metrics = stepf(carry, batch, key)
-        jax.block_until_ready(metrics["loss"])
+        # VALUE fetch, not block_until_ready: the relay acks b_u_r before
+        # device completion, so the common post-compile stall would
+        # otherwise land inside the first COUNTED round's closing fetch
+        # (measured once as a 410 s flagship round 0)
+        float(metrics["loss"])
 
     def run_round(r):
         nonlocal carry, key
@@ -271,6 +303,10 @@ def main():
         "vs_baseline": round(flagship / PER_CHIP_TARGET, 3),
         "extras": extras,
     }
+    if RESULTS.get("flagship_stalled"):
+        # every flagship round was relay-stalled: the value is a floor,
+        # not a throughput measurement — say so in the record
+        result["extras"]["flagship_all_rounds_stalled"] = True
     print(json.dumps(result))
 
 

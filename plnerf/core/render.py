@@ -68,7 +68,7 @@ def render_rays(
     if rcfg.occ is not None and occ_grid is not None:
         # occupancy-guided placement (core/occgrid.py); no reference
         # equivalent — flag-gated TPU perf path, uniform stays default
-        z_vals = occgrid.occ_guided_z_vals(
+        z_vals, occ_ray_frac = occgrid.occ_guided_z_vals(
             occ_grid, rays_o, rays_d, near, far, rcfg.n_samples, t_rand,
             rcfg.occ,
         )
@@ -149,6 +149,8 @@ def render_rays(
         if rcfg.occ is not None:
             # density observations for the occupancy-grid EMA update (the
             # occ train step consumes + pops these; free — no extra evals)
+            if occ_grid is not None:
+                ret["occ_ray_frac"] = occ_ray_frac
             ret["occ_z"] = jnp.concatenate([z_vals, z_fine], axis=-1)
             ret["occ_sigma"] = jax.nn.relu(jnp.concatenate(
                 [out_c["raw"][..., 3], out_f["raw"][..., 3]], axis=-1))
@@ -176,6 +178,8 @@ def render_rays(
         if rcfg.retraw:
             ret["raw"] = out_c["raw"]
         if rcfg.occ is not None:
+            if occ_grid is not None:
+                ret["occ_ray_frac"] = occ_ray_frac
             ret["occ_z"] = z_vals
             ret["occ_sigma"] = jax.nn.relu(out_c["raw"][..., 3])
         if rcfg.compute_pred_hyp:

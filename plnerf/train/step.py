@@ -134,6 +134,9 @@ def _render_loss(params_c, params_f, batch, key, setup: TrainSetup,
         # stop-gradiented) by make_occ_train_step before metrics reach host
         metrics["_occ_z"] = jax.lax.stop_gradient(ret["occ_z"])
         metrics["_occ_sigma"] = jax.lax.stop_gradient(ret["occ_sigma"])
+        if "occ_ray_frac" in ret:
+            metrics["occ_ray_frac"] = jax.lax.stop_gradient(
+                ret["occ_ray_frac"])
 
     if setup.space_carving_weight > 0.0:
         target_h = batch["target_h"]
@@ -340,25 +343,21 @@ def make_depth_train_step(setup: TrainSetup):
 
 def _apply_occ_update(setup: TrainSetup, occ_grid, batch, metrics):
     """Pop the forward pass's density observations out of the metrics and
-    fold them into the grid EMA (core/occgrid.py).  Also reports
-    ``occ_ray_frac`` — the mean occupied fraction of candidate bins along
-    this batch's rays — the degenerate-guidance signal: near 1.0 the grid
-    cannot skip anything (slab-like scene spanning every ray) and guided
-    placement only *spreads* n_samples thinner than uniform sampling
-    would (measured -1.7 dB on the slab fixture, BASELINE.md); the
-    drivers print an advisory when it stays above ~0.6."""
+    fold them into the grid EMA (core/occgrid.py).  The metrics dict also
+    carries ``occ_ray_frac`` — the mean occupied fraction of candidate
+    bins along this batch's rays, surfaced by the sampler's own gather
+    (core/occgrid.occ_guided_z_vals) — the degenerate-guidance signal the
+    drivers print an advisory on (cli/run_plnerf; measured -1.7 dB on the
+    slab fixture when guidance cannot skip, BASELINE.md).  Recomputing it
+    here against the post-update grid cost 7.5% occ-path throughput for
+    no advisory benefit (the one-step-old reading is equivalent)."""
     from ..core import occgrid as og
 
     z = metrics.pop("_occ_z")
     sigma = metrics.pop("_occ_sigma")
     rays = batch["rays"]
     pts = rays[:, None, 0:3] + rays[:, None, 3:6] * z[..., None]
-    grid = og.update_grid(occ_grid, pts, sigma, setup.rcfg.occ)
-    _, occ = og.occupancy_along_rays(
-        grid, rays[:, 0:3], rays[:, 3:6], rays[:, 6:7], rays[:, 7:8],
-        setup.rcfg.occ.candidates, setup.rcfg.occ)
-    metrics["occ_ray_frac"] = jnp.mean(occ)
-    return grid, metrics
+    return og.update_grid(occ_grid, pts, sigma, setup.rcfg.occ), metrics
 
 
 def make_occ_train_step(setup: TrainSetup):

@@ -74,7 +74,11 @@ def test_occ_guided_samples_concentrate_in_occupied_slab():
     near = jnp.zeros((R, 1))
     far = jnp.full((R, 1), 4.0)   # x from -2 to 2
     t_rand = jax.random.uniform(jax.random.key(0), (R, N))
-    z = og.occ_guided_z_vals(grid, rays_o, rays_d, near, far, N, t_rand, cfg)
+    z, orf = og.occ_guided_z_vals(grid, rays_o, rays_d, near, far, N,
+                                  t_rand, cfg)
+    # the sampler surfaces the occupied-bin fraction (advisory signal):
+    # the dilated slab covers ~(1.3-0.2)/4 of each ray
+    assert 0.15 < float(orf) < 0.45, float(orf)
     assert z.shape == (R, N)
     assert np.all(np.diff(np.asarray(z), axis=-1) >= 0)      # sorted
     assert float(z.min()) >= 0.0 and float(z.max()) <= 4.0
@@ -87,8 +91,8 @@ def test_occ_guided_samples_concentrate_in_occupied_slab():
     # the floor keeps SOME samples outside (death-spiral escape hatch)
     assert frac_in < 1.0
     # deterministic path (perturb=False) also works
-    z_det = og.occ_guided_z_vals(grid, rays_o, rays_d, near, far, N, None,
-                                 cfg)
+    z_det, _ = og.occ_guided_z_vals(grid, rays_o, rays_d, near, far, N,
+                                    None, cfg)
     assert np.all(np.isfinite(np.asarray(z_det)))
 
 
