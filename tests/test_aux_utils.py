@@ -64,3 +64,38 @@ def test_camera_embedding_optimization_improves_psnr():
     assert emb.shape == (4,)
     assert np.isfinite(np.asarray(emb)).all()
     assert float(np.abs(np.asarray(emb)).sum()) > 0  # actually moved
+
+
+def test_bench_round_stall_guard():
+    """bench._bench_rounds must never record a relay-stalled round as the
+    headline while a clean round exists (observed once: an 8.2 s/step
+    stalled round 0 ate the flagship budget and reported 996 rays/s, a
+    57x artifact), must discard sub-FLOP-floor rounds (premature relay
+    acks), and must fall back to the best stalled round — flagged — only
+    when EVERY round stalled."""
+    import bench
+
+    floor = bench._min_step_s(321)
+    n_steps = bench.STEPS_PER_ROUND * bench.INNER
+
+    def run(times):
+        bench.RESULTS.clear()
+        it = iter(times)
+        return bench._bench_rounds(
+            lambda r: next(it) * n_steps, 321, "t", len(times), "flagship",
+            budget_s=1e9)
+
+    # stalled round 0 (100x floor), then clean rounds ~10x floor
+    rps = run([100 * floor, 10 * floor, 9.8 * floor])
+    assert abs(rps - bench.N_RAND / (9.8 * floor)) < 1e-6
+    assert not bench.RESULTS.get("flagship_stalled")
+
+    # premature-ack round (below floor) discarded, clean round wins
+    rps = run([0.5 * floor, 11 * floor])
+    assert abs(rps - bench.N_RAND / (11 * floor)) < 1e-6
+
+    # every round stalled -> conservative fallback, loudly flagged
+    rps = run([120 * floor, 90 * floor])
+    assert abs(rps - bench.N_RAND / (90 * floor)) < 1e-6
+    assert bench.RESULTS.get("flagship_stalled") is True
+    bench.RESULTS.clear()
