@@ -204,7 +204,8 @@ def run_nvs(mode, iters, tiny, slab=True, occ_floor=0.03,
           "elapsed_s": round(time.time() - t0, 1)})
 
 
-def run_depth(iters, tiny, use_occ=False, slab=True, occ_floor=0.03):
+def run_depth(iters, tiny, use_occ=False, slab=True, occ_floor=0.03,
+              occ_threshold=1e-2):
     """Depth-supervised convergence; ``use_occ`` runs the same recipe with
     occupancy-grid guided coarse sampling (32 guided + 64, grid engaged
     from the start — the depth driver's own warmup is exercised by the
@@ -217,6 +218,10 @@ def run_depth(iters, tiny, use_occ=False, slab=True, occ_floor=0.03):
     from plnerf.core.config import ModelConfig, RenderConfig
     from plnerf.train import step as train_step
 
+    # softplus(10x)/10 floors at ~0.069 for raw x ~ 0, ABOVE the default
+    # 1e-2 occupancy threshold — regions the net leaves near raw-zero can
+    # never carve; pass occ_threshold ~0.08 to test carving above the
+    # activation floor (round-3 depth-RMSE investigation)
     ds = build_dataset(tiny, slab=slab)
     mcfg = ModelConfig(
         netdepth=4 if tiny else 8, netwidth=64 if tiny else 256,
@@ -226,7 +231,8 @@ def run_depth(iters, tiny, use_occ=False, slab=True, occ_floor=0.03):
     ns, ni = ((32, 16) if tiny else ((32, 64) if use_occ else (128, 64)))
     n_rand = 256 if tiny else 1024
     occ_cfg = og.OccGridConfig(resolution=128, candidates=96,
-                               floor=occ_floor) \
+                               floor=occ_floor,
+                               threshold=occ_threshold) \
         if use_occ else None
     rcfg = RenderConfig(
         n_samples=ns, n_importance=ni, mode="linear", white_bkgd=True,
@@ -252,6 +258,8 @@ def run_depth(iters, tiny, use_occ=False, slab=True, occ_floor=0.03):
     tag = "depth-occ" if use_occ else "depth"
     if not slab:
         tag += "-sparse"
+    if use_occ and occ_threshold != 1e-2:
+        tag += f"-thr{occ_threshold:g}"
     carry = ((state, og.init_grid([-2.0] * 3, [2.0] * 3, occ_cfg))
              if use_occ else state)
     key = jax.random.key(2)
@@ -292,6 +300,7 @@ def main():
     ap.add_argument("--iters", type=int, default=8000)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--occ_floor", type=float, default=0.03)
+    ap.add_argument("--occ_threshold", type=float, default=1e-2)
     ap.add_argument("--lrate_decay", type=int, default=250,
                     help="reference exp-decay profile (x1000 steps to "
                          "0.1x; NVS modes only)")
@@ -307,7 +316,8 @@ def main():
     for m in modes:
         if m in ("depth", "depth-occ"):
             run_depth(args.iters, args.tiny, use_occ=m == "depth-occ",
-                      slab=slab, occ_floor=args.occ_floor)
+                      slab=slab, occ_floor=args.occ_floor,
+                      occ_threshold=args.occ_threshold)
         else:
             run_nvs(m, args.iters, args.tiny, slab=slab,
                     occ_floor=args.occ_floor,
