@@ -57,6 +57,14 @@ first, they changed the story twice:
   (256,256) throughput that the narrow head/input dots cannot reach.
   Reaching higher would require changing the MLP's layer widths, not
   the kernel schedule — the residual is closed, not surrendered.
+  The one schedule change that model still predicted would win —
+  merging each split-block pair into one wide dot (13 -> 11 dots,
+  predicted 51 ms) — was measured and falsified (tools/dot_decompose
+  --what merged): merged shapes obey the model in isolation but the
+  merged sequence runs 63.2 ms vs split 57.1-59.8 (concat operand ==
+  scratch-buffer operand, so not the copy); wide-K dots pay a context
+  penalty when their operand is produced by the chain.  The split
+  schedule stands.
 * Mosaic constraints: matmul accumulators must be 32-bit (bf16
   preferred_element_type rejected); bf16 comparisons rejected (masks
   compare in f32).  Recompute lists are stored bf16 (numerically

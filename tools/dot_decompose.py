@@ -223,6 +223,89 @@ def run_mixed(tile, semantics=None):
     return dt
 
 
+MERGED_SHAPES = [(128, 256)] + [(256, 256)] * 4 + [(384, 256)] \
+    + [(256, 256)] * 2 + [(256, 384), (384, 128), (128, 128)]
+
+
+def make_merged_kernel(use_concat):
+    """11-dot variant: the skip and views layers each run ONE wide dot on a
+    [T, 384] operand instead of two split-block dots.  Two operand
+    strategies: a VMEM scratch buffer written in place (h into lanes
+    0..255 once, x into 256..383 once — no per-use copy) vs
+    jnp.concatenate (the round-2 concat kernel's strategy, a [T,384]
+    VPU materialization per use).  The per-dot fixed-cost model
+    (t ~= 2.28 + 1.21*(K*N/32768) ms) predicts the merge saves
+    2 x 2.28 ms if the operand is free."""
+    def kernel(x_ref, *refs):
+        buf = refs[-1]
+        out_ref = refs[-2]
+        w = [r[:] for r in refs[:-2]]
+        x = x_ref[:]                                   # [T, 128]
+        h = dot_bf16(x, w[0]).astype(x.dtype)          # L0
+        for i in range(1, 5):                          # L1-L4
+            h = dot_bf16(h, w[i]).astype(x.dtype)
+        if use_concat:
+            import jax.numpy as jnp
+            h = dot_bf16(jnp.concatenate([h, x], axis=1),
+                         w[5]).astype(x.dtype)         # skip merged
+        else:
+            buf[:, :256] = h
+            buf[:, 256:] = x
+            h = dot_bf16(buf[:], w[5]).astype(x.dtype)
+        h = dot_bf16(h, w[6]).astype(x.dtype)          # L6
+        h = dot_bf16(h, w[7]).astype(x.dtype)          # L7
+        fa = dot_bf16(h, w[8])                         # head [T,384]
+        feature = fa[:, :256].astype(x.dtype)
+        if use_concat:
+            import jax.numpy as jnp
+            hv = dot_bf16(jnp.concatenate([feature, x], axis=1),
+                          w[9]).astype(x.dtype)        # views merged
+        else:
+            buf[:, :256] = feature                     # lanes 256: keep x
+            hv = dot_bf16(buf[:], w[9]).astype(x.dtype)
+        rgb = dot_bf16(hv, w[10])                      # [T,128]
+        out_ref[:, :128] = rgb
+        out_ref[:, 128:] = fa[:, 256:]
+
+    return kernel
+
+
+def run_merged(tile, use_concat=False):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ws = [jax.random.normal(jax.random.key(i + 1), s).astype(jnp.bfloat16)
+          * 0.05 for i, s in enumerate(MERGED_SHAPES)]
+    x = jax.random.normal(jax.random.key(0), (N_ROWS, 128)).astype(
+        jnp.bfloat16)
+
+    @jax.jit
+    def f(x, *ws):
+        return pl.pallas_call(
+            make_merged_kernel(use_concat),
+            grid=(N_ROWS // tile,),
+            in_specs=[pl.BlockSpec((tile, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(ws),
+            out_specs=pl.BlockSpec((tile, 256), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((N_ROWS, 256), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((tile, 384), jnp.bfloat16)],
+        )(x, *ws)
+
+    flops = 2 * N_ROWS * sum(k * n for k, n in MERGED_SHAPES)
+    label = ("merged-sequence (11 dots, "
+             + ("concat" if use_concat else "scratch-buf") + ")"
+             + (f" tile={tile}" if tile != T else ""))
+    dt = bench(lambda: f(x, *ws), label)
+    if dt is not None:
+        print(f"    -> {flops / dt / 1e12:6.1f} TFLOP/s effective",
+              flush=True)
+    return dt
+
+
 def run_real_forward(tile):
     import jax
     import jax.numpy as jnp
@@ -269,6 +352,14 @@ def main():
         if args.tile == 512:
             run_mixed(1024)
             run_mixed(2048)
+
+    if "merged" in what:
+        print("=== E. merged-dot hypothesis (skip/views as ONE wide dot) ===")
+        run_mixed(args.tile)     # in-session split baseline (13 dots)
+        for k, n_out in [(384, 256), (384, 128)]:
+            run_shape(k, n_out, 13, args.tile)
+        run_merged(args.tile, use_concat=False)
+        run_merged(args.tile, use_concat=True)
 
     if "real" in what:
         print("=== C. real forward kernel ===")
