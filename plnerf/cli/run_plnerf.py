@@ -206,6 +206,59 @@ def _occ_advisory(m: dict, step: int, warm_end: int, warned: bool) -> bool:
     return True
 
 
+# Dead-coarse advisory: render.sigma0_pos_frac reads EXACTLY 0.0 when
+# every raw coarse density is negative, so relu kills every density
+# gradient and the coarse geometry can never recover (BASELINE.md
+# "dead-coarse anatomy": measured on every seed-0 fixture run, BOTH
+# modes).  The downstream damage is mode-dependent — constant: the
+# coarse has literally no live gradient (renders a constant background,
+# importance sampling degrades to quasi-uniform; on DTU this cost 4 of
+# 7 fine test views ~17 dB); linear: the forced tau(far)=1e10 boundary
+# keeps COLOR gradients alive (the coarse paints a "billboard" pinned
+# at far), but all importance samples collapse into the final interval
+# (z_std == 0) so hierarchical sampling contributes nothing and the
+# fine net trains on its stratified base alone.  Healthy coarse nets
+# measure ~0.15 in-volume / 1.0 on-surface.  The grace window clears
+# init transients and the constant_init warm window.
+DEAD_COARSE_POS_FRAC = 1e-3
+DEAD_COARSE_GRACE = 3000
+
+
+def _dead_coarse_advisory(m: dict, step: int, warned: bool,
+                          mode: str) -> bool:
+    """Print a loud one-time advisory when the coarse density head has
+    gone fully negative (the dead-relu trap, BASELINE.md anatomy)."""
+    frac = m.get("sigma0_pos_frac")
+    if (warned or frac is None or frac >= DEAD_COARSE_POS_FRAC
+            or step <= DEAD_COARSE_GRACE):
+        return warned
+    print("=" * 72)
+    print(f"WARNING: the COARSE density head is dead at iter {step}: "
+          f"{frac:.1%} of its raw densities are positive, so relu zeroes "
+          "every density gradient and the coarse geometry cannot recover "
+          "(measured on every seed-0 fixture run, BASELINE.md "
+          "dead-coarse anatomy).")
+    if mode == "constant":
+        print("In constant mode this is the paper's zero-gradient trap: "
+              "the coarse has NO live gradient (PSNR flatlines at ~3-5 "
+              "dB), importance sampling degrades to quasi-uniform, and "
+              "fine-level quality can suffer badly (the DTU study lost 4 "
+              "of 7 test views ~17 dB).")
+    else:
+        print("In linear mode color gradients survive through the forced "
+              "far-boundary interval (the coarse renders a billboard "
+              "pinned at far), but every importance sample collapses "
+              "into that final interval — hierarchical sampling is "
+              "contributing nothing; the fine net is training on its "
+              "stratified samples alone.")
+    print("Mitigations, verified end-to-end: --raw_noise_std 1e0 (the "
+          "reference's own llff recipe; rescued a dead constant coarse "
+          "to 27.8-49.7 dB) or a different --seed (the trap is "
+          "init-dependent: seed 1 escaped it on the same scene).")
+    print("=" * 72)
+    return True
+
+
 def _shard(x, mesh):
     """Constrain the ray-batch axis onto the mesh so GSPMD splits the whole
     render/backward pipeline across chips (grad psum inserted by XLA)."""
@@ -421,6 +474,7 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
     t0 = time.time()
     steps_since_print = 0
     occ_warned = False
+    dead_warned = False
     i0 = start + 1
     while i0 <= n_iters:
         nb = next((b for b in boundaries if b > i0), n_iters + 1)
@@ -504,6 +558,8 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
                   f"PSNR: {m['psnr']:.2f} ({m['steps_per_sec']:.1f} it/s)")
             if occ_on:
                 occ_warned = _occ_advisory(m, i, occ_warm_end, occ_warned)
+            dead_warned = _dead_coarse_advisory(m, i, dead_warned,
+                                                args.mode)
             if getattr(args, "debug", False):
                 bad = [k for k, v in m.items() if not np.isfinite(v)]
                 if bad:

@@ -108,6 +108,17 @@ def render_rays(
     out_c = run(params_coarse, z_vals, knc)
 
     ret: Dict[str, jnp.ndarray] = {}
+    # Dead-coarse detector (free): fraction of raw coarse densities that
+    # pass the relu.  0.0 means relu kills every density gradient and
+    # the coarse geometry can never recover — measured on every seed-0
+    # fixture run in BOTH modes (BASELINE.md "dead-coarse anatomy"; the
+    # downstream damage is mode-dependent: constant loses all gradients,
+    # linear keeps color alive via the forced far boundary but its
+    # importance samples collapse into the final interval).  Scalar;
+    # eval renderers filter it out (eval/images._IMAGE_KEYS), the train
+    # step surfaces it as a metric and the CLI raises an advisory.
+    ret["sigma0_pos_frac"] = jnp.mean(
+        (out_c["raw"][..., 3] > 0).astype(jnp.float32))
     det = not rcfg.perturb
 
     def resample(out, z, u):

@@ -129,6 +129,9 @@ def _render_loss(params_c, params_f, batch, key, setup: TrainSetup,
     img_loss = img2mse(ret["rgb_map"], batch["target"])
     loss = img_loss
     metrics = {"img_loss": img_loss, "psnr": mse2psnr(img_loss)}
+    if "sigma0_pos_frac" in ret:
+        metrics["sigma0_pos_frac"] = jax.lax.stop_gradient(
+            ret["sigma0_pos_frac"])
     if "occ_z" in ret:
         # density observations for the occupancy-grid update; popped (and
         # stop-gradiented) by make_occ_train_step before metrics reach host
