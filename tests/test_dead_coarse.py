@@ -93,6 +93,41 @@ def test_advisory_gating_latch_and_mode_text(capsys):
     assert capsys.readouterr().out == ""
 
 
+def test_depth_pipeline_structurally_immune():
+    """The depth script's softplus(beta=10) density head (mlp.py
+    density_activation="softplus10", reference depth_supervised_exps/
+    model/run_nerf_helpers.py:200,203) is strictly positive, so the
+    dead-relu trap cannot occur there: with the bias pushed to a level
+    that makes every raw pre-activation negative (all-dead for a relu
+    head), sigma0_pos_frac still reads 1.0 and density gradients
+    survive (softplus's gradient sigmoid(10x) is positive everywhere —
+    though it does saturate numerically ~x<-9, far below observed dead
+    levels).  This is why run_depth wires no dead-coarse advisory."""
+    import dataclasses
+
+    mcfg = dataclasses.replace(MCFG, density_activation="softplus10",
+                               init="xavier")
+    params = init_nerf_params(jax.random.PRNGKey(0), mcfg)
+    params["alpha_linear"] = dict(
+        params["alpha_linear"], b=params["alpha_linear"]["b"] - 2.0)
+    # constant mode: the trap's worst case (zero-gradient basin under a
+    # relu head), and acc0 genuinely depends on density (in linear mode
+    # the forced far boundary pins acc0=1 regardless)
+    rcfg = RenderConfig(n_samples=NS, n_importance=NI, mode="constant")
+    ret = render.render_rays(params, params, _rays(),
+                             jax.random.PRNGKey(1), mcfg, rcfg)
+    assert float(ret["sigma0_pos_frac"]) == 1.0
+
+    def coarse_sigma_sum(p):
+        out = render.render_rays(p, params, _rays(),
+                                 jax.random.PRNGKey(1), mcfg, rcfg)
+        return jnp.sum(out["acc0"])
+
+    g = jax.grad(coarse_sigma_sum)(params)
+    # live gradient into the density head despite the -100 bias
+    assert float(jnp.max(jnp.abs(g["alpha_linear"]["b"]))) > 0.0
+
+
 def test_billboard_physics_of_dead_coarse():
     """Dead density, linear mode + perturb: the forced far boundary
     carries all the weight (acc=1, depth=far, importance samples
