@@ -253,8 +253,12 @@ def _dead_coarse_advisory(m: dict, step: int, warned: bool,
               "stratified samples alone.")
     print("Mitigations, verified end-to-end: --raw_noise_std 1e0 (the "
           "reference's own llff recipe; rescued a dead constant coarse "
-          "to 27.8-49.7 dB) or a different --seed (the trap is "
-          "init-dependent: seed 1 escaped it on the same scene).")
+          "to 27.8-49.7 dB) or a different --seed (an 8-seed sweep "
+          "shows the trap is init-dependent: only the 2/8 seeds whose "
+          "init margin sits deepest below zero die; death is decided "
+          "by iter ~500).  In linear mode, NEVER set --constant_init 0:"
+          " the constant warmup is what protects the coarse (pure "
+          "linear training billboarded it on 8/8 seeds).")
     print("=" * 72)
     return True
 
