@@ -251,14 +251,19 @@ def _dead_coarse_advisory(m: dict, step: int, warned: bool,
               "into that final interval — hierarchical sampling is "
               "contributing nothing; the fine net is training on its "
               "stratified samples alone.")
-    print("Mitigations, verified end-to-end: --raw_noise_std 1e0 (the "
-          "reference's own llff recipe; rescued a dead constant coarse "
-          "to 27.8-49.7 dB) or a different --seed (an 8-seed sweep "
-          "shows the trap is init-dependent: only the 2/8 seeds whose "
-          "init margin sits deepest below zero die; death is decided "
-          "by iter ~500).  In linear mode, NEVER set --constant_init 0:"
-          " the constant warmup is what protects the coarse (pure "
-          "linear training billboarded it on 8/8 seeds).")
+    print("Mitigations, verified end-to-end: RESTART with "
+          "--raw_noise_std 1e0 (the reference's own llff recipe; "
+          "prevents the trap and measured +0.5-0.7 dB even in linear "
+          "mode) or with a different --seed (an 8-seed sweep shows the "
+          "trap is init-dependent: only the 2/8 seeds whose init margin "
+          "sits deepest below zero die; death is decided by iter ~500). "
+          "Restarting matters: resuming a dead run with noise does NOT "
+          "save it — the billboarded linear coarse is a local minimum "
+          "noise cannot escape, and a late-revived constant coarse no "
+          "longer repairs the fine net (BASELINE.md late-rescue study). "
+          "In linear mode, NEVER set --constant_init 0: the constant "
+          "warmup is what protects the coarse (pure linear training "
+          "billboarded it on 8/8 seeds).")
     print("=" * 72)
     return True
 

@@ -83,6 +83,8 @@ def test_advisory_gating_latch_and_mode_text(capsys):
                                  "constant")
     out = capsys.readouterr().out
     assert "zero-gradient trap" in out and "quasi-uniform" in out
+    # mitigations are restart-only (BASELINE.md late-rescue study)
+    assert "RESTART" in out and "does NOT save it" in out
     assert _dead_coarse_advisory(dead, DEAD_COARSE_GRACE + 1, False,
                                  "linear")
     out = capsys.readouterr().out
