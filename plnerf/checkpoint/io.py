@@ -68,7 +68,23 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
 
 
 def restore_checkpoint(path: str, template: Any) -> Any:
-    """Restore into the structure of ``template`` (a matching pytree)."""
+    """Restore into the structure of ``template`` (a matching pytree).
+
+    Forward compatibility: top-level fields added to TrainState after a
+    checkpoint was written (e.g. ``opt_latent``) are backfilled from the
+    template — flax's from_state_dict otherwise hard-errors on the missing
+    key.  A non-None backfill (resuming an old run with a newly-enabled
+    feature, e.g. --opt_ch_cam) keeps the template's fresh init and says
+    so."""
     with open(path, "rb") as f:
         state_dict = fser.msgpack_restore(f.read())
+    tmpl_dict = fser.to_state_dict(template)
+    if isinstance(state_dict, dict) and isinstance(tmpl_dict, dict):
+        for k, v in tmpl_dict.items():
+            if k not in state_dict:
+                if v is not None:
+                    print(f"NOTE: checkpoint {os.path.basename(path)} "
+                          f"predates state field '{k}' — keeping its "
+                          f"fresh initialization")
+                state_dict[k] = v
     return fser.from_state_dict(template, state_dict)

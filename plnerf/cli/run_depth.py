@@ -153,6 +153,7 @@ def build_configs(args):
         scaleshift_lr=args.scaleshift_lr, freeze_ss=args.freeze_ss,
         start_decay_lrate=args.start_decay_lrate,
         end_decay_lrate=args.end_decay_lrate,
+        opt_ch_cam=args.opt_ch_cam, ch_cam_lr=args.ch_cam_lr,
     )
     return mcfg, rcfg, setup
 

@@ -26,4 +26,10 @@ class TrainState:
     depth_scales: Optional[Any] = None     # [n_images, 1]
     depth_shifts: Optional[Any] = None     # [n_images, 1]
     opt_ss: Optional[Any] = None
-    cam_embeddings: Optional[Any] = None   # [n_train, input_ch_cam]
+    cam_embeddings: Optional[Any] = None   # [n_images, input_ch_cam]
+    # Adam state for cam_embeddings when trained (--opt_ch_cam).  The
+    # reference declares this intent (run_nerf_sample_based_depth.py:1164
+    # steps an ``optimizer_latent``) but ships it broken: the optimizer is
+    # never created (NameError) and ``embedcam_fn[img_i]`` indexes an
+    # nn.Embedding module (TypeError).  Here the path works; default off.
+    opt_latent: Optional[Any] = None

@@ -51,6 +51,16 @@ class TrainSetup:
     space_carving_threshold: float = 0.0
     scaleshift_lr: float = 1e-6
     freeze_ss: int = 400000
+    # Trainable per-image camera embeddings (--opt_ch_cam).  The reference
+    # INTENDS this path (run_nerf_sample_based_depth.py:1093 creates the
+    # nn.Embedding, :1164 steps an ``optimizer_latent``) but ships it
+    # doubly broken (the optimizer is never constructed — NameError — and
+    # ``embedcam_fn[img_i]`` raises TypeError); here it works.  Deviations
+    # chosen where the reference crashes before defining behavior:
+    # embeddings init to zeros (= the eval default and the test-time
+    # optimizer's start) and are Adam-trained at ``ch_cam_lr``.
+    opt_ch_cam: bool = False
+    ch_cam_lr: float = 1e-4
     # staged decay (depth script) instead of exponential when set:
     start_decay_lrate: Optional[int] = None
     end_decay_lrate: Optional[int] = None
@@ -97,6 +107,16 @@ def init_state(key: jax.Array, setup: TrainSetup, n_images: int = 0) -> TrainSta
         depth_shifts = jnp.zeros((max(n_images, 1), 1), jnp.float32)
         opt_ss = opt_ss_tx.init((depth_scales, depth_shifts))
 
+    cam_embeddings = opt_latent = None
+    if setup.opt_ch_cam and setup.mcfg.input_ch_cam > 0:
+        # zeros = the reference nn.Embedding's intended role as a learned
+        # per-image appearance code; zeros match the eval-time default for
+        # unseen views (mlp.query_network) so training starts at parity
+        cam_embeddings = jnp.zeros(
+            (max(n_images, 1), setup.mcfg.input_ch_cam), jnp.float32)
+        opt_latent = optim.make_adam(
+            lambda _: setup.ch_cam_lr).init(cam_embeddings)
+
     if setup.joint_optimizer or params_f is None:
         opt_f = opt_fine.init((params_c, params_f))
         opt_c = None
@@ -113,18 +133,22 @@ def init_state(key: jax.Array, setup: TrainSetup, n_images: int = 0) -> TrainSta
         depth_scales=depth_scales,
         depth_shifts=depth_shifts,
         opt_ss=opt_ss,
+        cam_embeddings=cam_embeddings,
+        opt_latent=opt_latent,
     )
 
 
 def _render_loss(params_c, params_f, batch, key, setup: TrainSetup,
-                 scale=None, shift=None, sc_weight=None):
+                 scale=None, shift=None, sc_weight=None, cam_emb=None):
     """Forward + loss.  batch: dict(rays [R,8|11], target [R,3], and for
     depth mode target_h [H,R,1], sc_mask [R], cached_u or None).
-    sc_weight: traced space-carving weight (0 during warm start)."""
+    sc_weight: traced space-carving weight (0 during warm start).
+    cam_emb: optional [input_ch_cam] camera embedding for this batch's
+    image (differentiable when --opt_ch_cam trains it)."""
     ret = render.render_rays(
         params_c, params_f, batch["rays"], key, setup.mcfg, setup.rcfg,
         cached_u=batch.get("cached_u"), mcfg_fine=setup.mcfg_fine,
-        occ_grid=batch.get("occ_grid"),
+        occ_grid=batch.get("occ_grid"), cam_embedding=cam_emb,
     )
     img_loss = img2mse(ret["rgb_map"], batch["target"])
     loss = img_loss
@@ -284,13 +308,22 @@ def make_depth_train_step(setup: TrainSetup):
 
     batch adds: target_h [H,R,1], sc_mask [R], img_idx (scalar int),
     optionally cached_u [R,N].
+
+    With setup.opt_ch_cam the per-image camera embedding joins the
+    differentiated args: gathered at img_idx, fed to the network through
+    the viewdir branch, its grad scattered back and stepped by a third
+    Adam at ch_cam_lr — the ``optimizer_latent`` the reference declares
+    but never constructs (run_nerf_sample_based_depth.py:1164).
     """
     opt_fine, _, opt_ss_tx = setup.make_optimizers()
+    train_emb = setup.opt_ch_cam and setup.mcfg.input_ch_cam > 0
+    opt_latent_tx = optim.make_adam(lambda _: setup.ch_cam_lr)
 
     def step_fn(state: TrainState, batch, key):
         img_idx = batch["img_idx"]
         scale = state.depth_scales[img_idx]
         shift = state.depth_shifts[img_idx]
+        emb = state.cam_embeddings[img_idx] if train_emb else None
 
         # space carving active only after the warm start
         # (run_nerf_sample_based_depth.py:1142; reference iteration
@@ -299,17 +332,23 @@ def make_depth_train_step(setup: TrainSetup):
             state.step >= setup.warm_start_nerf, setup.space_carving_weight, 0.0
         )
 
-        def loss_fn(both, sc, sh):
+        def loss_fn(both, sc, sh, e=None):
             pc, pf = both
             return _render_loss(
                 pc, pf, batch, key, setup, scale=sc, shift=sh,
-                sc_weight=sc_weight,
+                sc_weight=sc_weight, cam_emb=e,
             )
 
-        (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2), has_aux=True
-        )((state.params_coarse, state.params_fine), scale, shift)
-        g_params, g_scale, g_shift = grads
+        if train_emb:
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2, 3), has_aux=True
+            )((state.params_coarse, state.params_fine), scale, shift, emb)
+            g_params, g_scale, g_shift, g_emb = grads
+        else:
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2), has_aux=True
+            )((state.params_coarse, state.params_fine), scale, shift)
+            g_params, g_scale, g_shift = grads
 
         updates, opt_f = opt_fine.update(
             g_params, state.opt_fine, (state.params_coarse, state.params_fine)
@@ -334,10 +373,22 @@ def make_depth_train_step(setup: TrainSetup):
         new_sc = jnp.where(frozen, state.depth_scales, new_sc)
         new_sh = jnp.where(frozen, state.depth_shifts, new_sh)
 
+        extra = {}
+        if train_emb:
+            g_embs = jnp.zeros_like(
+                state.cam_embeddings).at[img_idx].set(g_emb)
+            up_emb, opt_latent = opt_latent_tx.update(
+                g_embs, state.opt_latent, state.cam_embeddings)
+            extra = dict(
+                cam_embeddings=optax.apply_updates(
+                    state.cam_embeddings, up_emb),
+                opt_latent=opt_latent,
+            )
+
         state = state.replace(
             params_coarse=pc, params_fine=pf, opt_fine=opt_f,
             depth_scales=new_sc, depth_shifts=new_sh, opt_ss=opt_ss,
-            step=state.step + 1,
+            step=state.step + 1, **extra,
         )
         return state, metrics
 

@@ -181,6 +181,82 @@ def test_depth_train_step_runs_and_flows():
     np.testing.assert_array_equal(s_before, np.asarray(state.depth_scales))
 
 
+def test_depth_step_trains_camera_embeddings():
+    """--opt_ch_cam: the reference declares a trainable per-image camera
+    embedding (run_nerf_sample_based_depth.py:1093,1164) but ships the
+    path broken; here it must actually train — only the selected image's
+    embedding moves, and it moves the loss."""
+    import dataclasses
+
+    images, poses, hwf, K = make_sphere_dataset(n_views=4, H=24, W=24)
+    mcfg = dataclasses.replace(SMALL_MODEL, input_ch_cam=4)
+    rcfg = RenderConfig(
+        n_samples=16, n_importance=16, mode="linear", white_bkgd=True,
+        perturb=True, compute_pred_hyp=True,
+    )
+    setup = train_step.TrainSetup(
+        mcfg=mcfg, rcfg=rcfg, joint_optimizer=True, grad_clip_value=0.1,
+        space_carving_weight=0.007, opt_ch_cam=True, ch_cam_lr=1e-2,
+    )
+    state = train_step.init_state(jax.random.key(0), setup, n_images=4)
+    assert state.cam_embeddings.shape == (4, 4)
+    assert state.opt_latent is not None
+    stepf = train_step.make_depth_train_step(setup)
+
+    rays, target, img_i = batching.sample_one_image_batch(
+        jnp.asarray(images), jnp.asarray(poses), K,
+        jnp.arange(images.shape[0]), jax.random.key(4), 128, 2.0, 6.0,
+        True,
+    )
+    batch = {
+        "rays": rays, "target": target,
+        "target_h": jnp.full((1, 128, 1), 3.5),
+        "sc_mask": jnp.ones((128,)), "img_idx": img_i,
+    }
+    state, metrics = stepf(state, batch, jax.random.key(5))
+    assert np.isfinite(float(metrics["loss"]))
+    emb = np.asarray(state.cam_embeddings)
+    sel = int(img_i)
+    assert not np.allclose(emb[sel], 0.0), "selected embedding must train"
+    others = np.delete(emb, sel, axis=0)
+    np.testing.assert_array_equal(others, 0.0)
+
+    # without the flag the same model config keeps zero embeddings
+    setup_off = dataclasses.replace(setup, opt_ch_cam=False)
+    s_off = train_step.init_state(jax.random.key(0), setup_off, n_images=4)
+    assert s_off.cam_embeddings is None and s_off.opt_latent is None
+    s_off, m_off = train_step.make_depth_train_step(setup_off)(
+        s_off, batch, jax.random.key(5))
+    assert np.isfinite(float(m_off["loss"]))
+
+
+def test_restore_backfills_new_state_fields(tmp_path):
+    """A checkpoint written before TrainState gained opt_latent (and with
+    no cam_embeddings key at all) must restore into today's template —
+    checkpoint/io.py backfills missing top-level None fields instead of
+    letting flax hard-error on the absent key."""
+    from flax import serialization as fser
+
+    from plnerf.checkpoint import io as ckio
+
+    rcfg = RenderConfig(n_samples=8, n_importance=8, mode="linear")
+    setup = train_step.TrainSetup(mcfg=SMALL_MODEL, rcfg=rcfg)
+    state = train_step.init_state(jax.random.key(0), setup)
+
+    old = fser.to_state_dict(state)
+    old.pop("opt_latent")
+    old.pop("cam_embeddings")
+    p = tmp_path / "000100.ckpt"
+    p.write_bytes(fser.msgpack_serialize(old))
+
+    template = train_step.init_state(jax.random.key(1), setup)
+    restored = ckio.restore_checkpoint(str(p), template)
+    assert restored.opt_latent is None and restored.cam_embeddings is None
+    for a, b in zip(jax.tree.leaves(state.params_coarse),
+                    jax.tree.leaves(restored.params_coarse)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_grad_accum_matches_unchunked():
     """accum_chunks=2: numerically the same update as one full-batch step
     (equal chunks, mean-decomposable loss; perturb off so the RNG stream
