@@ -178,6 +178,14 @@ def add_base_flags(parser: ConfigArgumentParser) -> None:
       help="accumulate grads over N equal ray chunks (lax.scan) per "
            "optimizer step: peak HBM of one chunk, same update — lifts "
            "the large-N_rand memory ceiling")
+    a("--eval_N_samples", type=int, default=None,
+      help="test/video tasks only: render with this many coarse samples "
+           "instead of the trained N_samples — a quality/latency dial "
+           "for serving (the reference pins eval to the trained counts "
+           "via its args.json reload, run_plnerf.py:937-975)")
+    a("--eval_N_importance", type=int, default=None,
+      help="test/video tasks only: importance-sample count override "
+           "(see --eval_N_samples)")
     a("--no_mesh", action="store_true",
       help="disable the device mesh (single-chip even if more visible)")
     add_occ_flags(a)
@@ -242,7 +250,7 @@ _TEST_OVERRIDES = [
     # would silently replace the trained values with defaults.
     "lpips_weights", "render_test", "render_factor", "render_only",
     "ft_path", "no_reload", "no_mesh", "use_pallas", "profile", "debug",
-    "occ_eval_fresh_grid",
+    "occ_eval_fresh_grid", "eval_N_samples", "eval_N_importance",
 ]
 
 

@@ -735,6 +735,16 @@ def run_video(args, bundle, mcfg, rcfg, state=None, mesh=None, step=None,
 # ---------------------------------------------------------------------------
 
 def run(args, vanilla: bool = False) -> None:
+    if args.task != "train":
+        # eval-time sample-budget override (quality/latency dial; the
+        # reference cannot do this — its args.json reload pins eval to
+        # the trained counts, run_plnerf.py:937-975).  Mutating args
+        # keeps rcfg and the test_images_<mode>_<Ns>_<Ni> result-dir
+        # naming consistent.
+        if getattr(args, "eval_N_samples", None):
+            args.N_samples = args.eval_N_samples
+        if getattr(args, "eval_N_importance", None):
+            args.N_importance = args.eval_N_importance
     mcfg, rcfg, setup = build_configs(args, vanilla=vanilla)
     bundle = load_dataset(args)
     if args.render_only:

@@ -86,19 +86,20 @@ def build_fixed_dist_eval(H=160, W=160, density=300.0, n_test=8):
 
 
 def build_multiobj_scene(n_train=30, n_val=1, n_test=4, H=160, W=160,
-                         density=80.0):
+                         density=80.0, name="fixdist_mobj"):
     """Blender-layout DETAILED scene: the round-2 multi-object fixture
     (4 varied-albedo spheres over a high-frequency checkered slab,
     data/synthetic._scene_sigma_rgb) written as transforms_*.json + pngs
     so the real CLI trains it.  Same pose distribution as
-    make_multi_object_dataset (radius 4, phi in [-55, -12])."""
+    make_multi_object_dataset (radius 4, phi in [-55, -12]).
+    ``name`` keys the cache dir — size variants must not collide."""
     import cv2
 
     from plnerf.data.synthetic import pose_spherical_np, render_scene_image
 
-    basedir = os.path.join(CACHE, "fixdist_mobj")
+    basedir = os.path.join(CACHE, name)
     if os.path.exists(os.path.join(basedir, "transforms_train.json")):
-        return CACHE, "fixdist_mobj"
+        return CACHE, name
     os.makedirs(basedir, exist_ok=True)
     focal = 0.5 * W / np.tan(0.25)
     camera_angle_x = 2.0 * np.arctan(0.5 * W / focal)
@@ -125,7 +126,7 @@ def build_multiobj_scene(n_train=30, n_val=1, n_test=4, H=160, W=160,
                   "w") as f:
             json.dump({"camera_angle_x": float(camera_angle_x),
                        "frames": frames}, f)
-    return CACHE, "fixdist_mobj"
+    return CACHE, name
 
 
 def build_fixed_dist_eval_mobj(H=160, W=160, density=80.0, n_test=6):
