@@ -112,6 +112,9 @@ def config_parser() -> ConfigArgumentParser:
     a("--mlp_dtype", type=str, default="float32")
     a("--use_pallas", action="store_true")
     a("--no_mesh", action="store_true")
+    a("--eval_N_samples", type=int, default=None,
+      help="eval tasks: sample-budget override (see run_plnerf)")
+    a("--eval_N_importance", type=int, default=None)
     add_occ_flags(a)
     return p
 
@@ -422,6 +425,14 @@ def run_training(args, data, setup, mcfg, rcfg):
 
 
 def run(args):
+    if args.task != "train":
+        # eval-time sample-budget override — same serving dial as
+        # run_plnerf (see cli/config.py --eval_N_samples); mutating args
+        # keeps the result-dir naming consistent with the counts used
+        if getattr(args, "eval_N_samples", None):
+            args.N_samples = args.eval_N_samples
+        if getattr(args, "eval_N_importance", None):
+            args.N_importance = args.eval_N_importance
     mcfg, rcfg, setup = build_configs(args)
     data = load_depth_dataset(args)
     if args.task == "train":

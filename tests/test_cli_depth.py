@@ -55,6 +55,16 @@ def test_depth_train_and_test(scene_dir, tmp_path):
     # depth RMSE tracked because the fixture has gt depths
     assert "depth_rmse" in metrics
 
+    # eval-time sample-budget override (same dial as run_plnerf)
+    depth_main(["test"] + TINY + [
+        "--data_dir", data_dir, "--scene_id", scene_id,
+        "--ckpt_dir", ckpt_dir, "--expname", "dexp",
+        "--eval_N_samples", "4", "--eval_N_importance", "2",
+    ])
+    ov = [d for d in os.listdir(exp)
+          if d.startswith("test_images_linear_4_2")]
+    assert ov and os.path.exists(os.path.join(exp, ov[0], "metrics.txt"))
+
 
 def test_depth_occ_grid_train_and_test(scene_dir, tmp_path):
     """Depth driver with --occ_grid: warmup -> grid-guided phase, sidecar

@@ -1,0 +1,35 @@
+#!/bin/bash
+# Round-3 TPU backlog — run when the axon relay comes back.
+# ONE TPU process at a time (CLAUDE.md); each step bounded by timeout.
+# Usage: bash tools/r3_tpu_queue.sh [step]   (default: all, in order)
+set -u
+cd "$(dirname "$0")/.."
+LOG=/tmp/r3_tpu_queue.log
+step="${1:-all}"
+
+run() { echo "=== $(date +%H:%M:%S) $*" | tee -a "$LOG"; "$@" 2>&1 | tee -a "$LOG"; }
+
+if [ "$step" = all ] || [ "$step" = probe ]; then
+  # cheap liveness check first — do not queue real work into a dead relay
+  timeout 580 python -c "import jax; print(jax.devices())" || {
+    echo "relay still down; aborting queue" | tee -a "$LOG"; exit 1; }
+fi
+
+if [ "$step" = all ] || [ "$step" = bench ]; then
+  # 1. flagship bench round (keep the best; relay round-0 often stalled)
+  run timeout 1700 env PYTHONUNBUFFERED=1 python bench.py
+fi
+
+if [ "$step" = all ] || [ "$step" = sceval ]; then
+  # 2. full-scale eval-time sample-budget sweep on the trained multiobj
+  #    models (needs /tmp/fixdist_mobj from tools/fixed_dist_study.py
+  #    --scene multiobj; retrain first if the ckpts were cleaned)
+  run timeout 3000 env PYTHONUNBUFFERED=1 python tools/sample_count_study.py \
+      --what eval --src /tmp/fixdist_mobj --scales 1,2,4,8
+fi
+
+if [ "$step" = all ] || [ "$step" = sctrain ]; then
+  # 3. full-scale low-budget train arms (fresh models, noise-rescued)
+  run timeout 9000 env PYTHONUNBUFFERED=1 python tools/sample_count_study.py \
+      --what train --iters 12000 --budgets 96,48
+fi

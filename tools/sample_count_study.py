@@ -138,8 +138,10 @@ def run_train(ckpt_root, scene_args, mode, ns, ni, iters, seed, n_rand,
     plnerf_main(train_args)
     train_s = time.time() - t0
 
+    # data_dir/scene_id/white_bkgd are CLI-side _TEST_OVERRIDES (reference
+    # test-task semantics) — they must be repeated here, not inherited
     plnerf_main(["--task", "test", "--ckpt_dir", ckpt_root,
-                 "--expname", exp])
+                 "--expname", exp, "--white_bkgd"] + scene_args)
     sid = next(a for i, a in enumerate(scene_args)
                if scene_args[i - 1] == "--scene_id")
     mdir = os.path.join(ckpt_root, exp,
