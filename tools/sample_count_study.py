@@ -172,6 +172,9 @@ def main():
     ap.add_argument("--what", default="eval", choices=("eval", "train"))
     ap.add_argument("--src", default="/tmp/fixdist_mobj",
                     help="eval: root holding fd_mobj_{linear,constant}")
+    ap.add_argument("--exps", default=None,
+                    help="eval: comma list of explicit experiment dirs "
+                         "(overrides the --src/fd_mobj_* convention)")
     ap.add_argument("--scales", default="1,2,4,8")
     ap.add_argument("--ckpt_root", default="/tmp/sample_count_study")
     ap.add_argument("--iters", type=int, default=8000)
@@ -193,9 +196,14 @@ def main():
     scales = [int(s) for s in args.scales.split(",")]
 
     if args.what == "eval":
-        for mode in args.modes.split(","):
-            exp_dir = os.path.join(args.src, f"fd_mobj_{mode}")
-            eval_at_scales(exp_dir, "sample-count-eval", scales)
+        if args.exps:
+            for exp_dir in args.exps.split(","):
+                eval_at_scales(exp_dir, "sample-count-eval", scales,
+                               extra={"exp": os.path.basename(exp_dir)})
+        else:
+            for mode in args.modes.split(","):
+                exp_dir = os.path.join(args.src, f"fd_mobj_{mode}")
+                eval_at_scales(exp_dir, "sample-count-eval", scales)
         return
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -213,10 +221,12 @@ def main():
             third = total // 3
             ns, ni = (2 * third, third) if mode == "linear" \
                 else (third, 2 * third)
+            tag = f"_s{args.seed}" + ("_tiny" if args.tiny else "")
+            if args.noise != 1.0:
+                tag += f"_n{args.noise:g}"
             run_train(args.ckpt_root, scene_args, mode, ns, ni,
                       args.iters, args.seed, args.n_rand, args.noise,
-                      tag=f"_s{args.seed}" + ("_tiny" if args.tiny else ""),
-                      tiny=args.tiny)
+                      tag=tag, tiny=args.tiny)
 
 
 if __name__ == "__main__":
