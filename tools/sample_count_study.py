@@ -76,14 +76,15 @@ def _load_exp(exp_dir):
     return args, mcfg, rcfg, setup, bundle, state
 
 
-def eval_at_scales(exp_dir, run_tag, scales, extra=None):
+def eval_at_counts(exp_dir, run_tag, counts, extra=None, per_pair=None):
+    """Render the held-out split of a trained experiment at explicit
+    (n_samples, n_importance) pairs; emit one row per pair.
+    ``per_pair``: optional list of extra-dicts, parallel to counts."""
     from plnerf.eval import images as EI
 
     args, mcfg, rcfg, setup, bundle, state = _load_exp(exp_dir)
     t0 = time.time()
-    for k in scales:
-        ns = max(args.N_samples // k, 1)
-        ni = max(args.N_importance // k, 1)
+    for j, (ns, ni) in enumerate(counts):
         rcfg_k = dataclasses.replace(rcfg, n_samples=ns, n_importance=ni)
         mean_metrics, _ = EI.render_images_with_metrics(
             state.params_coarse, state.params_fine, bundle.data,
@@ -93,16 +94,27 @@ def eval_at_scales(exp_dir, run_tag, scales, extra=None):
         )
         m = mean_metrics.as_dict()
         rec = {"run": run_tag, "iter": int(state.step), "mode": args.mode,
-               "scale_k": k, "n_samples": ns, "n_importance": ni,
-               "total": ns + ni,
+               "n_samples": ns, "n_importance": ni, "total": ns + ni,
                "psnr": round(float(m["psnr"]), 2),
                "ssim": round(float(m["ssim"]), 4)}
         if "psnr0" in m:
             rec["psnr0"] = round(float(m["psnr0"]), 2)
         if extra:
             rec.update(extra)
+        if per_pair:
+            rec.update(per_pair[j])
         rec["elapsed_s"] = round(time.time() - t0, 1)
         emit(rec)
+
+
+def eval_at_scales(exp_dir, run_tag, scales, extra=None):
+    """Proportional 1/k reduction of the TRAINED counts, k in scales."""
+    with open(os.path.join(exp_dir, "args.json")) as f:
+        a = json.load(f)
+    counts = [(max(a["N_samples"] // k, 1), max(a["N_importance"] // k, 1))
+              for k in scales]
+    eval_at_counts(exp_dir, run_tag, counts, extra=extra,
+                   per_pair=[{"scale_k": k} for k in scales])
 
 
 def run_train(ckpt_root, scene_args, mode, ns, ni, iters, seed, n_rand,
@@ -169,7 +181,14 @@ def run_train(ckpt_root, scene_args, mode, ns, ni, iters, seed, n_rand,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--what", default="eval", choices=("eval", "train"))
+    ap.add_argument("--what", default="eval",
+                    choices=("eval", "train", "split"))
+    ap.add_argument("--splits", default="8:16,16:8,20:4,23:1",
+                    help="split mode: explicit n_samples:n_importance "
+                         "pairs rendered on each --exps model — the "
+                         "guide-counterfactual probe (shrinking the "
+                         "importance share at fixed total isolates "
+                         "whether the coarse guide helps or hurts)")
     ap.add_argument("--src", default="/tmp/fixdist_mobj",
                     help="eval: root holding fd_mobj_{linear,constant}")
     ap.add_argument("--exps", default=None,
@@ -194,6 +213,15 @@ def main():
     args = ap.parse_args()
 
     scales = [int(s) for s in args.scales.split(",")]
+
+    if args.what == "split":
+        assert args.exps, "--what split requires --exps"
+        counts = [tuple(int(x) for x in s.split(":"))
+                  for s in args.splits.split(",")]
+        for exp_dir in args.exps.split(","):
+            eval_at_counts(exp_dir, "sample-count-split", counts,
+                           extra={"exp": os.path.basename(exp_dir)})
+        return
 
     if args.what == "eval":
         if args.exps:
