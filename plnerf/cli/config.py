@@ -186,6 +186,13 @@ def add_base_flags(parser: ConfigArgumentParser) -> None:
     a("--eval_N_importance", type=int, default=None,
       help="test/video tasks only: importance-sample count override "
            "(see --eval_N_samples)")
+    a("--eval_det", action="store_true",
+      help="test/video tasks only: deterministic sample placement at "
+           "eval (perturb off). The reference deliberately evaluates "
+           "with perturb=True (run_plnerf.py:497-499, preserved as the "
+           "default); det placement is measured +0.04-0.31 dB / up to "
+           "+0.045 SSIM at identical cost (BASELINE.md). Writes into "
+           "the same test_images dir as the default eval.")
     a("--no_mesh", action="store_true",
       help="disable the device mesh (single-chip even if more visible)")
     add_occ_flags(a)
@@ -251,6 +258,7 @@ _TEST_OVERRIDES = [
     "lpips_weights", "render_test", "render_factor", "render_only",
     "ft_path", "no_reload", "no_mesh", "use_pallas", "profile", "debug",
     "occ_eval_fresh_grid", "eval_N_samples", "eval_N_importance",
+    "eval_det",
 ]
 
 

@@ -115,6 +115,8 @@ def config_parser() -> ConfigArgumentParser:
     a("--eval_N_samples", type=int, default=None,
       help="eval tasks: sample-budget override (see run_plnerf)")
     a("--eval_N_importance", type=int, default=None)
+    a("--eval_det", action="store_true",
+      help="eval tasks: deterministic sample placement (see run_plnerf)")
     add_occ_flags(a)
     return p
 
@@ -433,6 +435,8 @@ def run(args):
             args.N_samples = args.eval_N_samples
         if getattr(args, "eval_N_importance", None):
             args.N_importance = args.eval_N_importance
+        if getattr(args, "eval_det", False):
+            args.perturb = 0.0
     mcfg, rcfg, setup = build_configs(args)
     data = load_depth_dataset(args)
     if args.task == "train":

@@ -745,6 +745,10 @@ def run(args, vanilla: bool = False) -> None:
             args.N_samples = args.eval_N_samples
         if getattr(args, "eval_N_importance", None):
             args.N_importance = args.eval_N_importance
+        if getattr(args, "eval_det", False):
+            # deterministic eval placement (opt-out of the reference's
+            # perturb-at-test quirk; measured win, see --eval_det help)
+            args.perturb = 0.0
     mcfg, rcfg, setup = build_configs(args, vanilla=vanilla)
     bundle = load_dataset(args)
     if args.render_only:

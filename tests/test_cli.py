@@ -119,15 +119,20 @@ def test_train_test_video_roundtrip(scene_dir, tmp_path):
     metrics = open(os.path.join(test_dir, "metrics.txt")).read()
     assert "psnr" in metrics and "ssim" in metrics
 
-    # eval-time sample-budget override (serving dial; writes its own
-    # result dir so the full-budget eval above is not clobbered)
+    # eval-time sample-budget override + deterministic placement
+    # (serving dials; the budget override writes its own result dir so
+    # the full-budget eval above is not clobbered)
     plnerf_main([
         "--task", "test", "--ckpt_dir", ckpt_dir, "--expname", "exp",
         "--data_dir", data_dir, "--scene_id", scene_id, "--white_bkgd",
-        "--eval_N_samples", "4", "--eval_N_importance", "2",
+        "--eval_N_samples", "4", "--eval_N_importance", "2", "--eval_det",
     ])
     ov_dir = os.path.join(exp, f"test_images_linear_4_2{scene_id}")
     assert os.path.exists(os.path.join(ov_dir, "metrics.txt"))
+    # args.json must keep the trained values (overrides must not leak)
+    with open(os.path.join(exp, "args.json")) as f:
+        aj = json.load(f)
+    assert aj["N_samples"] == 8 and aj["perturb"] == 1.0
 
     # sample-error eval
     plnerf_main([
