@@ -72,7 +72,7 @@ class RenderConfig:
     n_samples: int = 64
     n_importance: int = 128
     mode: str = "linear"              # 'linear' | 'constant'
-    color_mode: str = "midpoint"      # 'midpoint' | 'left'
+    color_mode: str = "midpoint"      # 'midpoint' | 'left' | 'tau_weighted' (TPU extra)
     lindisp: bool = False
     perturb: bool = True              # stratified jitter of coarse samples
     use_viewdirs: bool = True

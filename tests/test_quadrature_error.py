@@ -53,6 +53,41 @@ def test_linear_beats_constant_on_smooth_field(setup):
         assert ml < mc, (n, ml, mc)
 
 
+def test_tau_weighted_color_mode(setup):
+    """The TPU-native tau_weighted color convention (opt-in,
+    core/quadrature.raw2outputs): fixes linear's rgb smear on the binary
+    field (>=2x better than midpoint) while midpoint stays the best
+    linear convention on the smooth field (tau_weighted pays a constant
+    factor but must still beat the constant MODE there)."""
+    import quadrature_error_study as Q
+
+    rays_o, rays_d = Q.make_rays(n_side=12)
+
+    # hard binary field: tau_weighted must cut midpoint's error >= 2x
+    rgb_ref, _, T_far = Q.reference_render(
+        Q.hard_sigma_rgb, rays_o, rays_d, n_dense=16384)
+    keep = T_far < 1e-4
+    assert keep.sum() > 80
+    z = Q._z_for(64, len(rays_o), "linspace")
+    mid, _ = Q.estimate(Q.hard_sigma_rgb, rays_o, rays_d, z, "linear",
+                        "midpoint")
+    tw, _ = Q.estimate(Q.hard_sigma_rgb, rays_o, rays_d, z, "linear",
+                       "tau_weighted")
+    m_mid = ((mid - rgb_ref)[keep] ** 2).mean()
+    m_tw = ((tw - rgb_ref)[keep] ** 2).mean()
+    assert m_tw < 0.5 * m_mid, (m_tw, m_mid)
+
+    # smooth field: midpoint < tau_weighted < constant-mode error
+    Qs, rays_o2, rays_d2, rgb_ref2, _, keep2 = setup
+    z2 = Q._z_for(32, len(rays_o2), "linspace")
+    tw2, _ = Q.estimate(Q.smooth_sigma_rgb, rays_o2, rays_d2, z2,
+                        "linear", "tau_weighted")
+    m_tw2 = ((tw2 - rgb_ref2)[keep2] ** 2).mean()
+    m_mid2 = _mse(Q, rays_o2, rays_d2, rgb_ref2, keep2, 32, "linear")
+    m_c2 = _mse(Q, rays_o2, rays_d2, rgb_ref2, keep2, 32, "constant")
+    assert m_mid2 < m_tw2 < m_c2, (m_mid2, m_tw2, m_c2)
+
+
 def test_convergence_rates(setup):
     """Doubling N must cut linear's MSE ~16x (O(h^2) RMS) and constant's
     ~4x (O(h) RMS).  Generous brackets: >=8x vs <=8x."""

@@ -143,7 +143,8 @@ def _z_for(n: int, R: int, convention: str, rng=None):
     return lower + (upper - lower) * u
 
 
-def estimate(field, rays_o, rays_d, z: np.ndarray, mode: str):
+def estimate(field, rays_o, rays_d, z: np.ndarray, mode: str,
+             color_mode: str = "midpoint"):
     """Composite through the production raw2outputs on the given z
     (identical z feeds both modes)."""
     import jax.numpy as jnp
@@ -159,7 +160,7 @@ def estimate(field, rays_o, rays_d, z: np.ndarray, mode: str):
     far = np.full((R, 1), FAR)
     out = raw2outputs(jnp.asarray(raw), jnp.asarray(z), jnp.asarray(near),
                       jnp.asarray(far), jnp.asarray(rays_d), mode=mode,
-                      color_mode="midpoint", white_bkgd=False)
+                      color_mode=color_mode, white_bkgd=False)
     return (np.asarray(out["rgb_map"]), np.asarray(out["depth_map"]))
 
 

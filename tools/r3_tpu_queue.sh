@@ -33,3 +33,12 @@ if [ "$step" = all ] || [ "$step" = sctrain ]; then
   run timeout 9000 env PYTHONUNBUFFERED=1 python tools/sample_count_study.py \
       --what train --iters 12000 --budgets 96,48
 fi
+
+if [ "$step" = all ] || [ "$step" = tw ]; then
+  # 4. full-scale tau_weighted linear arm on the multiobj scene (compare
+  #    vs fixdist-mobj-linear baseline in convergence_runs.jsonl)
+  run timeout 3000 env PYTHONUNBUFFERED=1 python tools/fixed_dist_study.py \
+      --scene multiobj --modes linear --ckpt_root /tmp/fixdist_mobj_tw \
+      --iters 15000 || true
+  # (edit: pass --color_mode tau_weighted via a study variant if added)
+fi
