@@ -202,6 +202,10 @@ def main():
                          "(eval-time claim needs high-frequency content)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--modes", default="linear,constant")
+    ap.add_argument("--color_mode", default="midpoint",
+                    help="linear-mode color convention (midpoint | left "
+                         "| tau_weighted); non-default tags the exp/run "
+                         "names")
     args = ap.parse_args()
 
     from plnerf.cli.run_plnerf import main as plnerf_main
@@ -220,6 +224,8 @@ def main():
                for m in args.modes.split(",")]
     tag = "" if args.scene == "sphere" else "-mobj"
     stag = "" if args.seed == 0 else f"_s{args.seed}"
+    if args.color_mode != "midpoint":
+        stag += f"_{args.color_mode}"
     for mode, ns, ni in recipes:
         exp = f"fd{tag.replace('-', '_')}_{mode}{stag}"
         t0 = time.time()
@@ -238,7 +244,8 @@ def main():
             "--seed", str(args.seed),
         ]
         if mode == "linear":
-            train_args += ["--constant_init", "1000"]
+            train_args += ["--constant_init", "1000",
+                           "--color_mode", args.color_mode]
         plnerf_main(train_args)
         train_s = time.time() - t0
 

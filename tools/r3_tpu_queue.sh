@@ -36,9 +36,8 @@ fi
 
 if [ "$step" = all ] || [ "$step" = tw ]; then
   # 4. full-scale tau_weighted linear arm on the multiobj scene (compare
-  #    vs fixdist-mobj-linear baseline in convergence_runs.jsonl)
+  #    vs the fixdist-mobj-linear baseline row in convergence_runs.jsonl)
   run timeout 3000 env PYTHONUNBUFFERED=1 python tools/fixed_dist_study.py \
-      --scene multiobj --modes linear --ckpt_root /tmp/fixdist_mobj_tw \
-      --iters 15000 || true
-  # (edit: pass --color_mode tau_weighted via a study variant if added)
+      --scene multiobj --modes linear --color_mode tau_weighted \
+      --ckpt_root /tmp/fixdist_mobj_tw --iters 15000
 fi
