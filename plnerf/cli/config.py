@@ -174,6 +174,10 @@ def add_base_flags(parser: ConfigArgumentParser) -> None:
     a("--remat", action="store_true",
       help="rematerialize the MLP in backward (jax.checkpoint) to raise "
            "the ray-batch memory ceiling")
+    a("--sigma_bias_init", type=float, default=0.0,
+      help="constant added to the density head's bias at init; 0.0 = "
+           "exact reference init.  ~0.1 prevents the dead-coarse "
+           "init trap on raw-relu heads (BASELINE.md collapse sweep)")
     a("--grad_accum", type=int, default=1,
       help="accumulate grads over N equal ray chunks (lax.scan) per "
            "optimizer step: peak HBM of one chunk, same update — lifts "

@@ -48,6 +48,7 @@ def build_configs(args, vanilla: bool = False):
         netdepth=args.netdepth, netwidth=args.netwidth,
         use_viewdirs=args.use_viewdirs, multires=args.multires,
         multires_views=args.multires_views, i_embed=args.i_embed,
+        sigma_bias_init=getattr(args, "sigma_bias_init", 0.0),
     )
     mcfg_fine = None
     if (args.netdepth_fine != args.netdepth

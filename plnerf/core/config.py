@@ -45,6 +45,13 @@ class ModelConfig:
     # (torch nn.Linear default); 'xavier' = DenseLayer xavier_uniform with
     # relu/linear gain and zero bias (depth script).
     init: str = "torch_linear"
+    # TPU-native extra (default 0.0 = exact reference init): constant
+    # added to the density head's bias at INIT time.  The NVS scripts'
+    # raw-relu density head can land all-negative at init (measured init
+    # margin -0.035..-0.029 on the dead seeds, BASELINE.md "collapse seed
+    # sweep"), which kills every constant-mode gradient and degrades
+    # linear to a billboard; +0.1 lifts every seed clear of that basin.
+    sigma_bias_init: float = 0.0
 
     @property
     def input_ch(self) -> int:

@@ -82,6 +82,20 @@ def init_nerf_params(key: jax.Array, cfg: ModelConfig) -> Params:
         params["rgb_linear"] = _linear_init(keys[D + 3], W // 2, 3, cfg.init, "linear")
     else:
         params["output_linear"] = _linear_init(keys[D], W, cfg.output_ch, cfg.init, "linear")
+
+    if cfg.sigma_bias_init != 0.0:
+        # Lift the density head's init bias (init-time only; 0.0 default
+        # keeps the reference init bit-identical).  Density channel:
+        # alpha_linear output (viewdirs head) / output channel 3 (plain
+        # head, raw order [rgb, alpha] — run_nerf_helpers.py:126-128).
+        off = jnp.float32(cfg.sigma_bias_init)
+        if cfg.use_viewdirs:
+            al = params["alpha_linear"]
+            params["alpha_linear"] = {"w": al["w"], "b": al["b"] + off}
+        else:
+            ol = params["output_linear"]
+            params["output_linear"] = {
+                "w": ol["w"], "b": ol["b"].at[3].add(off)}
     return params
 
 

@@ -466,3 +466,18 @@ def test_occ_resume_and_eval_guardrails(scene_dir, tmp_path, capsys,
     ])
     assert os.path.exists(os.path.join(
         exp, f"test_images_linear_8_8{scene_id}", "metrics.txt"))
+
+
+def test_sigma_bias_init_flag_reaches_model_config():
+    """TPU-native --sigma_bias_init plumbs parser -> build_configs ->
+    ModelConfig (default 0.0 = exact reference init, mlp.py)."""
+    from plnerf.cli.run_plnerf import build_configs
+
+    args = config_parser().parse_args(["--use_viewdirs"])
+    mcfg, _, _ = build_configs(args)
+    assert mcfg.sigma_bias_init == 0.0
+    args = config_parser().parse_args(
+        ["--use_viewdirs", "--sigma_bias_init", "0.1"])
+    mcfg, _, setup = build_configs(args)
+    assert mcfg.sigma_bias_init == 0.1
+    assert setup.mcfg.sigma_bias_init == 0.1

@@ -128,3 +128,39 @@ def test_params_roundtrip(ref_helpers):
     params2 = convert_torch.state_dict_to_params(sd)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sigma_bias_init_offsets_only_the_density_bias():
+    """--sigma_bias_init (TPU-native extra): default 0.0 is bit-identical
+    to the reference init; a nonzero value shifts ONLY the density head's
+    bias by exactly that constant (both topologies), so every raw density
+    at init moves up by the offset while rgb is untouched."""
+    import dataclasses
+
+    for base in (ModelConfig(), ModelConfig(use_viewdirs=False, output_ch=4)):
+        lifted = dataclasses.replace(base, sigma_bias_init=0.1)
+        p0 = mlp.init_nerf_params(jax.random.key(0), base)
+        p1 = mlp.init_nerf_params(jax.random.key(0), lifted)
+
+        flat0 = jax.tree_util.tree_flatten_with_path(p0)[0]
+        flat1 = jax.tree.leaves(p1)
+        for (path, a), b in zip(flat0, flat1):
+            name = jax.tree_util.keystr(path)
+            a, b = np.asarray(a), np.asarray(b)
+            if "alpha_linear" in name and name.endswith("'b']"):
+                np.testing.assert_allclose(b - a, 0.1, rtol=1e-6)
+            elif "output_linear" in name and name.endswith("'b']"):
+                np.testing.assert_allclose(b - a, [0, 0, 0, 0.1], atol=1e-7)
+            else:
+                np.testing.assert_array_equal(a, b)
+
+        # the raw density channel moves up by exactly the offset
+        pe = jax.random.normal(jax.random.key(1), (17, base.input_ch))
+        ve = None
+        if base.use_viewdirs:
+            ve = jax.random.normal(jax.random.key(2),
+                                   (17, base.input_ch_views))
+        r0 = np.asarray(mlp.apply_mlp(p0, pe, ve, base))
+        r1 = np.asarray(mlp.apply_mlp(p1, pe, ve, lifted))
+        np.testing.assert_allclose(r1[:, 3] - r0[:, 3], 0.1, atol=1e-5)
+        np.testing.assert_allclose(r1[:, :3], r0[:, :3], atol=1e-6)

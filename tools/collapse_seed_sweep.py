@@ -47,7 +47,14 @@ def read_last_metrics(exp_dir):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=8)
+    ap.add_argument("--seed_list", type=str, default=None,
+                    help="comma list of seeds (overrides --seeds range)")
     ap.add_argument("--iters", type=int, default=3000)
+    ap.add_argument("--variants", type=str, default=None,
+                    help="comma subset of variants (default: all)")
+    ap.add_argument("--sigma_bias_init", type=float, default=0.0,
+                    help="density-head bias init offset under test; "
+                         "records get a -sb<val> run suffix when nonzero")
     ap.add_argument("--ckpt_dir", default="/tmp/collapse_sweep")
     ap.add_argument("--out",
                     default=os.path.join(REPO, "convergence_runs.jsonl"))
@@ -59,14 +66,22 @@ def main():
 
     from plnerf.cli.run_plnerf import main as plnerf_main
 
+    variants = {k: v for k, v in VARIANTS.items()
+                if args.variants is None or k in args.variants.split(",")}
+    seeds = ([int(s) for s in args.seed_list.split(",")]
+             if args.seed_list else list(range(args.seeds)))
+    sb = args.sigma_bias_init
+    suffix = f"-sb{sb:g}" if sb != 0.0 else ""
+
     records = []
-    for variant, (mode, ci) in VARIANTS.items():
+    for variant, (mode, ci) in variants.items():
         ns, ni = (128, 64) if mode == "linear" else (64, 128)
-        for seed in range(args.seeds):
-            exp = f"sw_{variant}_{seed}"
+        for seed in seeds:
+            exp = f"sw_{variant}{suffix}_{seed}"
             t0 = time.time()
             plnerf_main([
                 "--task", "train", "--mode", mode,
+                "--sigma_bias_init", str(sb),
                 "--constant_init", str(ci), "--seed", str(seed),
                 "--dataset", "DTU", "--dtu_scene_id", "5",
                 "--num_train", "42", "--data_dir", DATA,
@@ -83,7 +98,7 @@ def main():
             ])
             m = read_last_metrics(os.path.join(args.ckpt_dir, exp))
             rec = {
-                "run": f"collapse-sweep-{variant}", "seed": seed,
+                "run": f"collapse-sweep-{variant}{suffix}", "seed": seed,
                 "iter": args.iters,
                 "sigma0_pos_frac": round(m["train/sigma0_pos_frac"], 4),
                 "psnr0": round(m["train/psnr0"], 2),
@@ -97,11 +112,11 @@ def main():
                 f.write(line + "\n")
 
     agg = {}
-    for variant in VARIANTS:
-        rs = [r for r in records if r["run"].endswith(variant)
-              and r["run"] == f"collapse-sweep-{variant}"]
+    for variant in variants:
+        rs = [r for r in records
+              if r["run"] == f"collapse-sweep-{variant}{suffix}"]
         dead = [r["seed"] for r in rs if r["sigma0_pos_frac"] < 1e-3]
-        agg[variant] = {"n": len(rs), "dead_seeds": dead}
+        agg[variant + suffix] = {"n": len(rs), "dead_seeds": dead}
     line = json.dumps({"run": "collapse-sweep-aggregate", "final": True,
                        **agg})
     print(line, flush=True)
