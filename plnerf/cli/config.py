@@ -174,6 +174,12 @@ def add_base_flags(parser: ConfigArgumentParser) -> None:
     a("--remat", action="store_true",
       help="rematerialize the MLP in backward (jax.checkpoint) to raise "
            "the ray-batch memory ceiling")
+    a("--serve_out", type=str, default=None,
+      help="export_serving task: artifact output dir (default "
+           "<exp_dir>/serving)")
+    a("--serve_platforms", type=str, default=None,
+      help="export_serving task: comma list of lowering platforms "
+           "(default: cpu,tpu with fallback to the current backend)")
     a("--sigma_bias_init", type=float, default=0.0,
       help="constant added to the density head's bias at init; 0.0 = "
            "exact reference init.  ~0.1 prevents the dead-coarse "
@@ -262,7 +268,7 @@ _TEST_OVERRIDES = [
     "lpips_weights", "render_test", "render_factor", "render_only",
     "ft_path", "no_reload", "no_mesh", "use_pallas", "profile", "debug",
     "occ_eval_fresh_grid", "eval_N_samples", "eval_N_importance",
-    "eval_det",
+    "eval_det", "serve_out", "serve_platforms",
 ]
 
 

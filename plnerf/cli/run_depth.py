@@ -37,7 +37,8 @@ from ..train import batching
 from ..train.step import TrainSetup, init_state, make_depth_train_step
 from ..utils.logging import MetricsLogger
 from .config import ConfigArgumentParser, add_occ_flags, str2bool
-from .run_plnerf import (_fresh_occ_grid, _occ_advisory, _shard, get_mesh,
+from .run_plnerf import (_fresh_occ_grid, _occ_advisory, _shard,
+                         eval_render_config, get_mesh,
                          occ_cfg_from_args, occ_for_eval)
 
 
@@ -435,8 +436,8 @@ def run(args):
             args.N_samples = args.eval_N_samples
         if getattr(args, "eval_N_importance", None):
             args.N_importance = args.eval_N_importance
-        if getattr(args, "eval_det", False):
-            args.perturb = 0.0
+        # (--eval_det is applied in eval_render_config, AFTER the
+        # reference's perturb-at-test quirk would clobber it)
     mcfg, rcfg, setup = build_configs(args)
     data = load_depth_dataset(args)
     if args.task == "train":
@@ -455,7 +456,7 @@ def run(args):
     # run_plnerf; camera-embedding test-time opt runs grid-less — its
     # render_rays falls back to uniform when no grid is passed)
     occ_cfg_e, occ_grid_e = occ_for_eval(args)
-    test_rcfg = EI.test_render_config(rcfg, occ=occ_cfg_e)
+    test_rcfg = eval_render_config(args, rcfg, occ_cfg_e)
     if args.task in ("test", "test_opt"):
         lp = load_lpips(args.lpips_weights)
         # test-time camera-embedding optimization (reference

@@ -629,6 +629,19 @@ def _load_state_for_eval(args, setup):
     return state
 
 
+def eval_render_config(args, rcfg, occ_cfg=None):
+    """Eval-task RenderConfig: the reference quirk (perturb forced back
+    to True at test, run_plnerf.py:497-499 — test_render_config) plus
+    this framework's --eval_det override.  The override MUST be applied
+    here, after the quirk: mutating args.perturb upstream is clobbered
+    by test_render_config's unconditional perturb=True (bug caught by
+    test_serving's baked-manifest assert)."""
+    ov = {"occ": occ_cfg}
+    if getattr(args, "eval_det", False):
+        ov["perturb"] = False
+    return EI.test_render_config(rcfg, **ov)
+
+
 def run_test(args, bundle, mcfg, rcfg, state=None, mesh=None,
              suffix: str = "", setup=None, occ=None):
     if state is None:
@@ -638,7 +651,7 @@ def run_test(args, bundle, mcfg, rcfg, state=None, mesh=None,
     lp = load_lpips(getattr(args, "lpips_weights", None))
     mean_metrics, res = EI.render_images_with_metrics(
         state.params_coarse, state.params_fine, bundle.data, bundle.i_test,
-        mcfg, EI.test_render_config(rcfg, occ=occ_cfg), chunk=args.chunk,
+        mcfg, eval_render_config(args, rcfg, occ_cfg), chunk=args.chunk,
         near=bundle.near, far=bundle.far, ndc=bundle.ndc, mesh=mesh,
         lpips_fn=lp, mcfg_fine=setup.mcfg_fine if setup else None,
         occ_grid=occ_grid,
@@ -650,6 +663,33 @@ def run_test(args, bundle, mcfg, rcfg, state=None, mesh=None,
     )
     EI.write_images_with_metrics(res, mean_metrics, result_dir)
     return mean_metrics
+
+
+def run_export_serving(args, mcfg, rcfg, setup):
+    """--task export_serving: serialize the loaded checkpoint's render
+    function (weights + occ grid embedded) into a portable jax.export
+    artifact (plnerf/serving/export.py).  Eval semantics match --task
+    test: test_render_config + the --eval_det / --eval_N_* dials."""
+    from ..serving import export as sexport
+
+    state = _load_state_for_eval(args, setup)
+    occ_cfg, occ_grid = occ_for_eval(args)
+    out_dir = (getattr(args, "serve_out", None)
+               or os.path.join(exp_dir(args), "serving"))
+    platforms = getattr(args, "serve_platforms", None)
+    manifest = sexport.export_renderer(
+        state.params_coarse, state.params_fine, mcfg,
+        eval_render_config(args, rcfg, occ_cfg), out_dir,
+        chunk=args.chunk, mcfg_fine=setup.mcfg_fine, occ_grid=occ_grid,
+        platforms=platforms.split(",") if platforms else None,
+        provenance={"expname": args.expname, "step": int(state.step),
+                    "mode": args.mode, "N_samples": args.N_samples,
+                    "N_importance": args.N_importance},
+    )
+    print(f"Exported serving artifact to {out_dir} "
+          f"(platforms={manifest['platforms']}, chunk={manifest['chunk']}, "
+          f"outputs={manifest['output_keys']})")
+    return manifest
 
 
 # the reference's multi-distance sweep: dist -> near plane
@@ -673,7 +713,7 @@ def run_test_fixed_dist(args, mcfg, rcfg, setup):
         bundle = load_dataset(eval_args)
         mean_metrics, res = EI.render_images_with_metrics(
             state.params_coarse, state.params_fine, bundle.data,
-            bundle.i_test, mcfg, EI.test_render_config(rcfg, occ=occ_cfg),
+            bundle.i_test, mcfg, eval_render_config(args, rcfg, occ_cfg),
             chunk=args.chunk, near=near, far=bundle.far, mesh=mesh,
             lpips_fn=lp, mcfg_fine=setup.mcfg_fine, occ_grid=occ_grid,
         )
@@ -694,7 +734,7 @@ def run_test_samples_error(args, bundle, mcfg, rcfg, setup):
     )
     return EI.test_images_samples(
         state.params_coarse, state.params_fine, bundle.data, bundle.i_test,
-        mcfg, EI.test_render_config(rcfg, occ=occ_cfg), result_dir,
+        mcfg, eval_render_config(args, rcfg, occ_cfg), result_dir,
         chunk=args.chunk, mesh=mesh, mcfg_fine=setup.mcfg_fine,
         occ_grid=occ_grid,
     )
@@ -723,7 +763,7 @@ def run_video(args, bundle, mcfg, rcfg, state=None, mesh=None, step=None,
     )
     rgbs, _, _ = EI.render_path(
         state.params_coarse, state.params_fine, poses, data.hwf, K, mcfg,
-        EI.test_render_config(rcfg, occ=occ_cfg),
+        eval_render_config(args, rcfg, occ_cfg),
         near=bundle.near, far=bundle.far,
         chunk=args.chunk, savedir=savedir, render_factor=args.render_factor,
         mesh=mesh, ndc=bundle.ndc,
@@ -746,11 +786,14 @@ def run(args, vanilla: bool = False) -> None:
             args.N_samples = args.eval_N_samples
         if getattr(args, "eval_N_importance", None):
             args.N_importance = args.eval_N_importance
-        if getattr(args, "eval_det", False):
-            # deterministic eval placement (opt-out of the reference's
-            # perturb-at-test quirk; measured win, see --eval_det help)
-            args.perturb = 0.0
+        # (--eval_det is applied in eval_render_config, AFTER the
+        # reference's perturb-at-test quirk would clobber it)
     mcfg, rcfg, setup = build_configs(args, vanilla=vanilla)
+    if args.task == "export_serving":
+        # no dataset needed: near/far are per-ray inputs the serving
+        # client supplies (core.render.make_ray_batch packing)
+        run_export_serving(args, mcfg, rcfg, setup)
+        return
     bundle = load_dataset(args)
     if args.render_only:
         run_video(args, bundle, mcfg, rcfg, setup=setup)

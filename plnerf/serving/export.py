@@ -1,0 +1,132 @@
+"""Portable serving artifacts for trained models (TPU-native addition).
+
+The reference has no deployment story: its eval loops live inside the
+training scripts (run_plnerf.py:284-363 ``render_images_with_metrics``)
+and serving a trained model means carrying the whole torch codebase.
+Here a trained checkpoint is exported ONCE into a self-contained
+artifact directory:
+
+* ``module.bin`` — the hierarchical render function for one ray chunk,
+  lowered to StableHLO via ``jax.export`` with the model weights (and
+  the occupancy grid, when the model was trained with one) embedded as
+  constants.  The artifact carries no Python model code — any process
+  with jax installed can load and run it, on every platform it was
+  lowered for (default: cpu + tpu).
+* ``manifest.json`` — chunk size, ray layout, output keys and the
+  provenance (mode/sample counts/checkpoint path) needed to drive it.
+
+Serving semantics follow ``--task test`` exactly: ``raw_noise_std=0``
+with the reference's perturb-at-test quirk preserved by default (the
+artifact takes an RNG seed input), and the same eval dials apply at
+export time — ``--eval_det`` bakes deterministic placement (the
+measured free win, BASELINE.md), ``--eval_N_samples``/``--eval_N_importance``
+bake a different serving sample budget.
+
+``plnerf.serving.runtime.ServingRenderer`` is the matching loader: it
+pads arbitrary ray counts to the baked chunk grid and exposes
+ray-level and image-level rendering.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..core import render
+from ..core.config import ModelConfig, RenderConfig
+
+MODULE_FILE = "module.bin"
+MANIFEST_FILE = "manifest.json"
+FORMAT_VERSION = 1
+
+
+def ray_dim(rcfg: RenderConfig) -> int:
+    return 11 if rcfg.use_viewdirs else 8
+
+
+def build_chunk_fn(params_c, params_f, mcfg: ModelConfig,
+                   rcfg: RenderConfig,
+                   mcfg_fine: Optional[ModelConfig] = None,
+                   occ_grid=None):
+    """One-chunk render closure: (rays [chunk, rdim], seed u32) -> dict.
+
+    Weights/grid are closed over, so ``jax.export`` embeds them as
+    constants — the serialized module IS the model.
+    """
+    keys = list(_OUTPUT_KEYS)
+    if params_f is None:
+        keys = [k for k in keys if not k.endswith("0")]
+
+    def fn(rays, seed):
+        key = jax.random.PRNGKey(seed)
+        ret = render.render_rays(params_c, params_f, rays, key, mcfg,
+                                 rcfg, mcfg_fine=mcfg_fine,
+                                 occ_grid=occ_grid)
+        return {k: ret[k] for k in keys if k in ret}
+
+    return fn
+
+
+# per-ray outputs a serving client can consume (subset of render_rays'
+# returns; *0 = coarse-network maps, present with a fine network only)
+_OUTPUT_KEYS = ("rgb_map", "disp_map", "acc_map", "depth_map",
+                "rgb0", "depth0")
+
+
+def export_renderer(params_c, params_f, mcfg: ModelConfig,
+                    rcfg: RenderConfig, out_dir: str, chunk: int = 32768,
+                    mcfg_fine: Optional[ModelConfig] = None,
+                    occ_grid=None,
+                    platforms: Optional[Sequence[str]] = None,
+                    provenance: Optional[dict] = None) -> dict:
+    """Serialize the render function + weights into ``out_dir``.
+
+    ``platforms``: lowering targets (default tries ``("cpu", "tpu")``
+    and falls back to the current backend alone if a cross-platform
+    lowering rule is unavailable).  Returns the manifest dict.
+    """
+    fn = build_chunk_fn(params_c, params_f, mcfg, rcfg, mcfg_fine,
+                        occ_grid)
+    rdim = ray_dim(rcfg)
+    args = (jax.ShapeDtypeStruct((chunk, rdim), jnp.float32),
+            jax.ShapeDtypeStruct((), jnp.uint32))
+    out_shapes = jax.eval_shape(fn, *args)  # ground truth for the manifest
+
+    tried = [tuple(platforms)] if platforms else [("cpu", "tpu"), None]
+    exported = err = None
+    for plats in tried:
+        try:
+            exported = jax.export.export(
+                jax.jit(fn), platforms=list(plats) if plats else None
+            )(*args)
+            break
+        except Exception as e:  # e.g. no TPU lowering rule in this env
+            err = e
+    if exported is None:
+        raise RuntimeError(f"jax.export failed for {tried}: {err}")
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, MODULE_FILE), "wb") as f:
+        f.write(exported.serialize())
+
+    manifest = {
+        "format_version": FORMAT_VERSION,
+        "jax_version": jax.__version__,
+        "platforms": list(exported.platforms),
+        "chunk": chunk,
+        "ray_dim": rdim,
+        "use_viewdirs": rcfg.use_viewdirs,
+        "output_keys": sorted(out_shapes.keys()),
+        "mode": rcfg.mode,
+        "n_samples": rcfg.n_samples,
+        "n_importance": rcfg.n_importance,
+        "perturb": rcfg.perturb,
+        "occ_grid_embedded": occ_grid is not None,
+        "provenance": provenance or {},
+    }
+    with open(os.path.join(out_dir, MANIFEST_FILE), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest

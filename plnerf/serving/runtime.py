@@ -1,0 +1,81 @@
+"""Loader/runner for serving artifacts written by ``serving.export``.
+
+``ServingRenderer`` wraps the deserialized module: it pads an arbitrary
+ray count to the baked chunk size, loops chunks (one device dispatch
+each — the same batching the reference's ``batchify_rays`` does in
+python, run_plnerf.py:115-133), and reassembles full-size outputs.
+``render_image`` reproduces the eval frontend's ray packing
+(eval/images.render_image) so a client needs only camera geometry.
+
+The module file is self-contained (weights embedded) — this runtime
+never touches checkpoints and needs no model configuration beyond the
+manifest.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core import render
+from ..core import rays as raysmod
+from .export import MANIFEST_FILE, MODULE_FILE
+
+
+class ServingRenderer:
+    def __init__(self, manifest: dict, exported):
+        self.manifest = manifest
+        self.chunk = int(manifest["chunk"])
+        self.ray_dim = int(manifest["ray_dim"])
+        self._call = jax.jit(exported.call)
+
+    @classmethod
+    def load(cls, artifact_dir: str) -> "ServingRenderer":
+        with open(os.path.join(artifact_dir, MANIFEST_FILE)) as f:
+            manifest = json.load(f)
+        if manifest.get("format_version") != 1:
+            raise ValueError(
+                f"unsupported artifact format: {manifest.get('format_version')}")
+        with open(os.path.join(artifact_dir, MODULE_FILE), "rb") as f:
+            exported = jax.export.deserialize(bytearray(f.read()))
+        return cls(manifest, exported)
+
+    def render_rays(self, rays, seed: int = 0) -> Dict[str, np.ndarray]:
+        """rays: [n, ray_dim] packed like core.render.make_ray_batch
+        (origin, dir, near, far[, viewdir]).  Any n >= 1."""
+        rays = np.asarray(rays, np.float32)
+        if rays.ndim != 2 or rays.shape[1] != self.ray_dim:
+            raise ValueError(
+                f"expected rays [n, {self.ray_dim}], got {rays.shape}")
+        n = rays.shape[0]
+        pad = (-n) % self.chunk
+        if pad:
+            rays = np.concatenate(
+                [rays, np.broadcast_to(rays[-1:], (pad, self.ray_dim))], 0)
+        outs = []
+        for i in range(rays.shape[0] // self.chunk):
+            cb = jnp.asarray(rays[i * self.chunk:(i + 1) * self.chunk])
+            outs.append(self._call(
+                cb, jnp.uint32(np.uint32(seed) + np.uint32(i))))
+        out = jax.tree.map(lambda *xs: np.concatenate(
+            [np.asarray(x) for x in xs], 0), *outs)
+        return {k: v[:n] for k, v in out.items()}
+
+    def render_image(self, c2w, hwf, K, near: float = 2.0,
+                     far: float = 6.0, ndc: bool = False,
+                     seed: int = 0) -> Dict[str, np.ndarray]:
+        """Render one full image from camera geometry (same packing as
+        eval/images.render_image; H/W/focal from ``hwf``)."""
+        H, W, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
+        c2w = jnp.asarray(c2w)[:3, :4]
+        rays_o, rays_d = raysmod.get_rays(H, W, np.asarray(K), c2w)
+        packed, _ = render.make_ray_batch(
+            rays_o, rays_d, near, far, self.manifest["use_viewdirs"],
+            ndc, H, W, focal)
+        out = self.render_rays(np.asarray(packed), seed=seed)
+        return {k: v.reshape(H, W, *v.shape[1:]) for k, v in out.items()}

@@ -481,3 +481,26 @@ def test_sigma_bias_init_flag_reaches_model_config():
     mcfg, _, setup = build_configs(args)
     assert mcfg.sigma_bias_init == 0.1
     assert setup.mcfg.sigma_bias_init == 0.1
+
+
+def test_eval_det_survives_the_test_perturb_quirk():
+    """Regression: --eval_det must override the reference's
+    perturb-forced-True-at-test quirk (run_plnerf.py:497-499 /
+    eval/images.test_render_config).  The original wiring mutated
+    args.perturb upstream, which test_render_config clobbered — caught
+    by test_serving's baked-manifest assert."""
+    import argparse
+
+    from plnerf.cli.run_plnerf import eval_render_config
+    from plnerf.core.config import RenderConfig
+
+    rcfg = RenderConfig(perturb=True)
+    det = eval_render_config(argparse.Namespace(eval_det=True), rcfg)
+    assert det.perturb is False and det.raw_noise_std == 0.0
+    quirk = eval_render_config(argparse.Namespace(eval_det=False), rcfg)
+    assert quirk.perturb is True  # reference quirk preserved by default
+    # even a perturb=0-trained model evals with the quirk (reference
+    # sets render_kwargs_test['perturb']=True unconditionally)
+    quirk2 = eval_render_config(argparse.Namespace(eval_det=False),
+                                RenderConfig(perturb=False))
+    assert quirk2.perturb is True

@@ -41,3 +41,21 @@ if [ "$step" = all ] || [ "$step" = tw ]; then
       --scene multiobj --modes linear --color_mode tau_weighted \
       --ckpt_root /tmp/fixdist_mobj_tw --iters 15000
 fi
+
+if [ "$step" = all ] || [ "$step" = sbias ]; then
+  # 5. sigma_bias_init validation: does +0.1 at init rescue the dead
+  #    seeds {0,7} in both recipes (BASELINE.md collapse sweep) without
+  #    hurting a healthy seed (1)?  And does it rescue linear-ci0 (the
+  #    dynamic billboard collapse), which is NOT an init trap?
+  run timeout 3000 env PYTHONUNBUFFERED=1 python tools/collapse_seed_sweep.py \
+      --variants linear,constant --seed_list 0,7,1 --sigma_bias_init 0.1 \
+      --ckpt_dir /tmp/collapse_sweep_sb
+  run timeout 1500 env PYTHONUNBUFFERED=1 python tools/collapse_seed_sweep.py \
+      --variants linear-ci0 --seed_list 0,1 --sigma_bias_init 0.1 \
+      --ckpt_dir /tmp/collapse_sweep_sb
+fi
+
+if [ "$step" = all ] || [ "$step" = evalpallas ]; then
+  # 6. does the VMEM-resident Pallas forward win at EVAL (no backward)?
+  run timeout 2400 env PYTHONUNBUFFERED=1 python tools/eval_pallas_probe.py
+fi
