@@ -32,6 +32,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=8)
+    ap.add_argument("--sigma_bias_init", type=float, default=0.0,
+                    help="probe the --sigma_bias_init mitigation: the "
+                         "margin shift is exactly the bias offset")
     ap.add_argument("--out",
                     default=os.path.join(REPO, "convergence_runs.jsonl"))
     args = ap.parse_args()
@@ -42,7 +45,8 @@ def main():
     from plnerf.core.config import ModelConfig
     from plnerf.core.mlp import init_nerf_params, query_network
 
-    cfg = ModelConfig()  # 8x256, multires 10/4, viewdirs: the study MLP
+    # 8x256, multires 10/4, viewdirs: the study MLP
+    cfg = ModelConfig(sigma_bias_init=args.sigma_bias_init)
     rng = np.random.default_rng(7)
     pts = jax.numpy.asarray(
         rng.uniform(-1.5, 1.5, (4096, 8, 3)).astype(np.float32))
@@ -64,7 +68,8 @@ def main():
         }
         print(seed, per_seed[seed], flush=True)
 
-    rec = {"run": "init-margin-probe", "final": True, "per_seed": per_seed}
+    rec = {"run": "init-margin-probe", "final": True,
+           "sigma_bias_init": args.sigma_bias_init, "per_seed": per_seed}
     with open(args.out, "a") as f:
         f.write(json.dumps(rec) + "\n")
 
