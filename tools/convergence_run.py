@@ -88,7 +88,7 @@ def eval_test(state, ds, mcfg, rcfg, n_views, seed, pixel_center=False,
 
 
 def run_nvs(mode, iters, tiny, slab=True, occ_floor=0.03,
-            lrate_decay=250):
+            lrate_decay=250, eval_every=1000):
     """mode: constant | linear | occ (linear recipe with occupancy-grid
     guided coarse sampling, 32 guided + 64 importance — the quality half
     of the occ-grid >=2x claim; throughput half lives in bench.py).
@@ -181,7 +181,7 @@ def run_nvs(mode, iters, tiny, slab=True, occ_floor=0.03,
         carry, metrics = phases[(ci, pc, occ_on)](carry, ks)
         done += n_inner
         train_psnr = float(metrics["psnr"])
-        if done % 1000 == 0 or done >= iters:
+        if done % eval_every == 0 or done >= iters:
             st = carry[0] if occ_engaged else carry
             occ = (occ_cfg, carry[1]) if occ_engaged else None
             ev = eval_test(st, ds, mcfg, rcfg, n_views=2, seed=done,
@@ -204,7 +204,7 @@ def run_nvs(mode, iters, tiny, slab=True, occ_floor=0.03,
           "elapsed_s": round(time.time() - t0, 1)})
 
 
-def run_depth(iters, tiny, use_occ=False, slab=True, occ_floor=0.03,
+def run_depth(iters, tiny, use_occ=False, slab=True, occ_floor=0.03, eval_every=1000,
               occ_threshold=1e-2):
     """Depth-supervised convergence; ``use_occ`` runs the same recipe with
     occupancy-grid guided coarse sampling (32 guided + 64, grid engaged
@@ -270,7 +270,7 @@ def run_depth(iters, tiny, use_occ=False, slab=True, occ_floor=0.03,
         carry, metrics = step(carry, images_j, poses_j, intr_j, hyp,
                               sc_mask, i_train_j, ks)
         done += n_inner
-        if done % 1000 == 0 or done >= iters:
+        if done % eval_every == 0 or done >= iters:
             state = carry[0] if use_occ else carry
             occ = (occ_cfg, carry[1]) if use_occ else None
             ev = eval_test(state, ds, mcfg, rcfg, n_views=2, seed=done,
@@ -304,6 +304,10 @@ def main():
     ap.add_argument("--lrate_decay", type=int, default=250,
                     help="reference exp-decay profile (x1000 steps to "
                          "0.1x; NVS modes only)")
+    ap.add_argument("--eval_every", type=int, default=1000,
+                    help="held-out eval cadence (raise for long-horizon "
+                         "runs: 500 per-1k evals would dominate a 500k "
+                         "run's wall time)")
     ap.add_argument("--scene", default="slab", choices=["slab", "sparse"],
                     help="slab: spheres + checkered ground slab; sparse: "
                          "spheres only (object-centric, mostly empty rays "
@@ -317,11 +321,13 @@ def main():
         if m in ("depth", "depth-occ"):
             run_depth(args.iters, args.tiny, use_occ=m == "depth-occ",
                       slab=slab, occ_floor=args.occ_floor,
-                      occ_threshold=args.occ_threshold)
+                      occ_threshold=args.occ_threshold,
+                      eval_every=args.eval_every)
         else:
             run_nvs(m, args.iters, args.tiny, slab=slab,
                     occ_floor=args.occ_floor,
-                    lrate_decay=args.lrate_decay)
+                    lrate_decay=args.lrate_decay,
+                    eval_every=args.eval_every)
 
 
 if __name__ == "__main__":

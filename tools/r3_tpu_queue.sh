@@ -59,3 +59,12 @@ if [ "$step" = all ] || [ "$step" = evalpallas ]; then
   # 6. does the VMEM-resident Pallas forward win at EVAL (no backward)?
   run timeout 2400 env PYTHONUNBUFFERED=1 python tools/eval_pallas_probe.py
 fi
+
+if [ "$step" = long500k ]; then
+  # 7. (explicit only — ~3-4 h of TPU) the FULL design range: 500k iters
+  #    with the blender recipe's real decay=500 profile on the sparse
+  #    fixture; evals every 10k.  Run last / alone.
+  run timeout 17000 env PYTHONUNBUFFERED=1 python tools/convergence_run.py \
+      --mode linear --scene sparse --iters 500000 --lrate_decay 500 \
+      --eval_every 10000
+fi
