@@ -684,7 +684,15 @@ def run_export_serving(args, mcfg, rcfg, setup):
         platforms=platforms.split(",") if platforms else None,
         provenance={"expname": args.expname, "step": int(state.step),
                     "mode": args.mode, "N_samples": args.N_samples,
-                    "N_importance": args.N_importance},
+                    "N_importance": args.N_importance,
+                    # geometry hints the serving client needs to build
+                    # rays the way the model was trained (the artifact
+                    # itself takes packed rays with per-ray near/far)
+                    "dataset": args.dataset,
+                    "ndc": bool(args.dataset == "llff"
+                                and not getattr(args, "no_ndc", False)),
+                    "set_near_plane": getattr(args, "set_near_plane",
+                                              None)},
     )
     print(f"Exported serving artifact to {out_dir} "
           f"(platforms={manifest['platforms']}, chunk={manifest['chunk']}, "
