@@ -60,6 +60,11 @@ if [ "$step" = all ] || [ "$step" = evalpallas ]; then
   run timeout 2400 env PYTHONUNBUFFERED=1 python tools/eval_pallas_probe.py
 fi
 
+if [ "$step" = all ] || [ "$step" = servebench ]; then
+  # 6b. artifact-vs-inprocess eval throughput (python-chunk dispatch cost)
+  run timeout 2400 env PYTHONUNBUFFERED=1 python tools/serving_bench.py
+fi
+
 if [ "$step" = long500k ]; then
   # 7. (explicit only — ~3-4 h of TPU) the FULL design range: 500k iters
   #    with the blender recipe's real decay=500 profile on the sparse

@@ -1,0 +1,91 @@
+"""Serving-artifact throughput vs the in-process eval renderer.
+
+The artifact (plnerf/serving/) runs the same one-chunk program the eval
+frontend lax.map's over, but dispatches per chunk from python (the
+reference's batchify pattern).  This measures what that costs at the
+eval geometry: one 800x800 image, linear flagship recipe, bf16,
+chunk 32768 — ServingRenderer.render_image vs EI.render_image,
+value-fetch-closed, best of ``--rounds``.  Appends run="serving-bench"
+rows to convergence_runs.jsonl.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--chunk", type=int, default=32768)
+    ap.add_argument("--out", default="convergence_runs.jsonl")
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+
+    from plnerf.core.config import ModelConfig, RenderConfig
+    from plnerf.core.mlp import init_nerf_params
+    from plnerf.eval import images as EI
+    from plnerf.serving import export as SE
+    from plnerf.serving.runtime import ServingRenderer
+
+    mcfg = ModelConfig()
+    rcfg = RenderConfig(n_samples=128, n_importance=64, mode="linear",
+                        white_bkgd=True, perturb=True,
+                        mlp_dtype="bfloat16")
+    pc = init_nerf_params(jax.random.key(0), mcfg)
+    pf = init_nerf_params(jax.random.key(1), mcfg)
+
+    art = tempfile.mkdtemp(prefix="serve_bench_")
+    t0 = time.time()
+    SE.export_renderer(pc, pf, mcfg, rcfg, art, chunk=args.chunk)
+    t_export = time.time() - t0
+    server = ServingRenderer.load(art)
+
+    H = W = 800
+    focal = 0.5 * W / np.tan(0.25)
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                 np.float32)
+    c2w = np.eye(4, dtype=np.float32)[:3]
+    c2w[2, 3] = 4.0
+
+    def serve():
+        out = server.render_image(c2w, (H, W, focal), K)
+        return float(out["rgb_map"].sum())        # host values already
+
+    def inproc():
+        out = EI.render_image(pc, pf, c2w, (H, W, focal), K, mcfg, rcfg,
+                              jax.random.PRNGKey(3), chunk=args.chunk)
+        return float(np.asarray(out["rgb_map"]).sum())  # value fetch
+
+    rows = []
+    for name, fn in (("serving", serve), ("inprocess", inproc)):
+        fn()  # compile + settle
+        fn()
+        best = float("inf")
+        for r in range(args.rounds):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = min(best, dt)
+            print(f"[serve-bench] {name} round {r}: {dt:.2f} s/img, "
+                  f"{H*W/dt:,.0f} rays/s", file=sys.stderr, flush=True)
+        row = {"run": "serving-bench", "path": name, "chunk": args.chunk,
+               "s_per_img": round(best, 3),
+               "rays_per_sec": round(H * W / best, 1)}
+        if name == "serving":
+            row["export_s"] = round(t_export, 2)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    with open(args.out, "a") as f:
+        for row in rows:
+            f.write(json.dumps(row) + "\n")
+
+
+if __name__ == "__main__":
+    main()
