@@ -12,15 +12,20 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import tempfile
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--chunk", type=int, default=32768)
+    ap.add_argument("--size", type=int, default=800,
+                    help="image H=W (tiny for CPU smoke)")
     ap.add_argument("--out", default="convergence_runs.jsonl")
     args = ap.parse_args()
 
@@ -46,7 +51,7 @@ def main():
     t_export = time.time() - t0
     server = ServingRenderer.load(art)
 
-    H = W = 800
+    H = W = args.size
     focal = 0.5 * W / np.tan(0.25)
     K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
                  np.float32)
@@ -74,7 +79,8 @@ def main():
             best = min(best, dt)
             print(f"[serve-bench] {name} round {r}: {dt:.2f} s/img, "
                   f"{H*W/dt:,.0f} rays/s", file=sys.stderr, flush=True)
-        row = {"run": "serving-bench", "path": name, "chunk": args.chunk,
+        row = {"run": "serving-bench", "path": name, "size": H,
+               "chunk": args.chunk,
                "s_per_img": round(best, 3),
                "rays_per_sec": round(H * W / best, 1)}
         if name == "serving":
