@@ -28,14 +28,20 @@ from .export import MANIFEST_FILE, MODULE_FILE
 
 
 class ServingRenderer:
-    def __init__(self, manifest: dict, exported):
+    def __init__(self, manifest: dict, exported, devices=None):
         self.manifest = manifest
         self.chunk = int(manifest["chunk"])
         self.ray_dim = int(manifest["ray_dim"])
         self._call = jax.jit(exported.call)
+        self.devices = list(devices) if devices else None
 
     @classmethod
-    def load(cls, artifact_dir: str) -> "ServingRenderer":
+    def load(cls, artifact_dir: str, devices=None) -> "ServingRenderer":
+        """``devices``: optional list of jax devices to serve on —
+        chunks round-robin across them and execute concurrently (the
+        render is embarrassingly parallel over rays; the multi-chip
+        analogue of eval/images' shard_map renderer, without needing
+        the model code).  Default: the backend's default device."""
         with open(os.path.join(artifact_dir, MANIFEST_FILE)) as f:
             manifest = json.load(f)
         if manifest.get("format_version") != 1:
@@ -43,11 +49,18 @@ class ServingRenderer:
                 f"unsupported artifact format: {manifest.get('format_version')}")
         with open(os.path.join(artifact_dir, MODULE_FILE), "rb") as f:
             exported = jax.export.deserialize(bytearray(f.read()))
-        return cls(manifest, exported)
+        return cls(manifest, exported, devices=devices)
 
     def render_rays(self, rays, seed: int = 0) -> Dict[str, np.ndarray]:
         """rays: [n, ray_dim] packed like core.render.make_ray_batch
-        (origin, dir, near, far[, viewdir]).  Any n >= 1."""
+        (origin, dir, near, far[, viewdir]).  Any n >= 1.
+
+        Dispatch is async: every chunk is enqueued (round-robin over
+        ``self.devices`` when set) before any result is fetched, so
+        chunks overlap host packing and, multi-device, run
+        concurrently.  Per-chunk rng (seed + chunk index) is placement-
+        independent — the same rays give the same image on 1 or N
+        devices."""
         rays = np.asarray(rays, np.float32)
         if rays.ndim != 2 or rays.shape[1] != self.ray_dim:
             raise ValueError(
@@ -60,8 +73,12 @@ class ServingRenderer:
         outs = []
         for i in range(rays.shape[0] // self.chunk):
             cb = jnp.asarray(rays[i * self.chunk:(i + 1) * self.chunk])
-            outs.append(self._call(
-                cb, jnp.uint32(np.uint32(seed) + np.uint32(i))))
+            sd = jnp.uint32(np.uint32(seed) + np.uint32(i))
+            if self.devices:
+                dev = self.devices[i % len(self.devices)]
+                cb = jax.device_put(cb, dev)
+                sd = jax.device_put(sd, dev)
+            outs.append(self._call(cb, sd))
         out = jax.tree.map(lambda *xs: np.concatenate(
             [np.asarray(x) for x in xs], 0), *outs)
         return {k: v[:n] for k, v in out.items()}

@@ -147,3 +147,24 @@ def test_cli_export_serving_task(tmp_path):
     out = r.render_rays(_rays(10))
     assert out["rgb_map"].shape == (10, 3)
     assert np.isfinite(out["rgb_map"]).all()
+
+
+def test_multi_device_serving_matches_single(tmp_path):
+    """devices=: chunks round-robin across the 8-device virtual mesh and
+    the image equals single-device bit-for-bit (per-chunk rng is keyed by
+    chunk index, not placement)."""
+    pc, pf = _params()
+    rcfg = RenderConfig(n_samples=16, n_importance=8, mode="linear",
+                        white_bkgd=True, perturb=True)
+    SE.export_renderer(pc, pf, MCFG, rcfg, str(tmp_path), chunk=64)
+
+    devs = jax.devices()
+    assert len(devs) >= 8  # conftest forces the virtual mesh
+    single = ServingRenderer.load(str(tmp_path))
+    multi = ServingRenderer.load(str(tmp_path), devices=devs)
+
+    rays = _rays(64 * 8 + 17)  # > one round-robin lap + a padded tail
+    out1 = single.render_rays(rays, seed=5)
+    outn = multi.render_rays(rays, seed=5)
+    for k in out1:
+        np.testing.assert_array_equal(out1[k], outn[k])
