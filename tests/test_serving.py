@@ -168,3 +168,26 @@ def test_multi_device_serving_matches_single(tmp_path):
     outn = multi.render_rays(rays, seed=5)
     for k in out1:
         np.testing.assert_array_equal(out1[k], outn[k])
+
+
+def test_export_with_distinct_fine_dims(tmp_path):
+    """--netdepth_fine/--netwidth_fine models export and serve correctly
+    (mcfg_fine threads through build_chunk_fn)."""
+    import dataclasses
+
+    mcfg_fine = dataclasses.replace(MCFG, netdepth=3, netwidth=48,
+                                    skips=(1,))
+    pc = init_nerf_params(jax.random.key(0), MCFG)
+    pf = init_nerf_params(jax.random.key(1), mcfg_fine)
+    rcfg = RenderConfig(n_samples=16, n_importance=8, mode="constant",
+                        white_bkgd=True, perturb=True)
+    SE.export_renderer(pc, pf, MCFG, rcfg, str(tmp_path), chunk=64,
+                       mcfg_fine=mcfg_fine)
+    r = ServingRenderer.load(str(tmp_path))
+    rays = _rays(64)
+    out = r.render_rays(rays, seed=11)
+    direct = render.render_rays(pc, pf, jnp.asarray(rays),
+                                jax.random.PRNGKey(11), MCFG, rcfg,
+                                mcfg_fine=mcfg_fine)
+    np.testing.assert_allclose(out["rgb_map"], np.asarray(direct["rgb_map"]),
+                               atol=1e-5)
