@@ -180,6 +180,10 @@ def add_base_flags(parser: ConfigArgumentParser) -> None:
     a("--serve_platforms", type=str, default=None,
       help="export_serving task: comma list of lowering platforms "
            "(default: cpu,tpu with fallback to the current backend)")
+    a("--serve_image", type=str, default=None,
+      help="export_serving task: also export a single-dispatch "
+           "whole-image module for HxW images (e.g. 800x800 — one "
+           "device call instead of n_chunks)")
     a("--sigma_bias_init", type=float, default=0.0,
       help="constant added to the density head's bias at init; 0.0 = "
            "exact reference init.  ~0.1 prevents the dead-coarse "
@@ -268,7 +272,7 @@ _TEST_OVERRIDES = [
     "lpips_weights", "render_test", "render_factor", "render_only",
     "ft_path", "no_reload", "no_mesh", "use_pallas", "profile", "debug",
     "occ_eval_fresh_grid", "eval_N_samples", "eval_N_importance",
-    "eval_det", "serve_out", "serve_platforms",
+    "eval_det", "serve_out", "serve_platforms", "serve_image",
 ]
 
 

@@ -677,11 +677,17 @@ def run_export_serving(args, mcfg, rcfg, setup):
     out_dir = (getattr(args, "serve_out", None)
                or os.path.join(exp_dir(args), "serving"))
     platforms = getattr(args, "serve_platforms", None)
+    fused_n = None
+    img = getattr(args, "serve_image", None)
+    if img:
+        h, w = (int(x) for x in img.lower().split("x"))
+        fused_n = h * w
     manifest = sexport.export_renderer(
         state.params_coarse, state.params_fine, mcfg,
         eval_render_config(args, rcfg, occ_cfg), out_dir,
         chunk=args.chunk, mcfg_fine=setup.mcfg_fine, occ_grid=occ_grid,
         platforms=platforms.split(",") if platforms else None,
+        fused_n_rays=fused_n,
         provenance={"expname": args.expname, "step": int(state.step),
                     "mode": args.mode, "N_samples": args.N_samples,
                     "N_importance": args.N_importance,

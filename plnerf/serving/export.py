@@ -39,6 +39,7 @@ from ..core import render
 from ..core.config import ModelConfig, RenderConfig
 
 MODULE_FILE = "module.bin"
+MODULE_FUSED_FILE = "module_fused.bin"
 MANIFEST_FILE = "manifest.json"
 FORMAT_VERSION = 1
 
@@ -76,17 +77,54 @@ _OUTPUT_KEYS = ("rgb_map", "disp_map", "acc_map", "depth_map",
                 "rgb0", "depth0")
 
 
+def build_fused_fn(params_c, params_f, mcfg: ModelConfig,
+                   rcfg: RenderConfig, chunk: int,
+                   mcfg_fine: Optional[ModelConfig] = None,
+                   occ_grid=None):
+    """Whole-batch render closure: (rays [n_total, rdim], seed u32) with
+    ``n_total`` a chunk multiple — the eval frontend's exact program
+    (eval/images._render_flat_local: one device dispatch, lax.map over
+    chunks, per-chunk keys from jax.random.split).  Use when dispatch
+    latency matters (an 800x800 image is ONE call instead of 20)."""
+    from ..eval.images import _render_flat_local
+
+    def fn(rays, seed):
+        key = jax.random.PRNGKey(seed)
+        return _render_flat_local(params_c, params_f, rays, key, mcfg,
+                                  rcfg, chunk, keep_hyp=False,
+                                  mcfg_fine=mcfg_fine, occ_grid=occ_grid)
+
+    return fn
+
+
+def _export_one(fn, args, platforms):
+    tried = [tuple(platforms)] if platforms else [("cpu", "tpu"), None]
+    err = None
+    for plats in tried:
+        try:
+            return jax.export.export(
+                jax.jit(fn), platforms=list(plats) if plats else None
+            )(*args)
+        except Exception as e:  # e.g. no TPU lowering rule in this env
+            err = e
+    raise RuntimeError(f"jax.export failed for {tried}: {err}")
+
+
 def export_renderer(params_c, params_f, mcfg: ModelConfig,
                     rcfg: RenderConfig, out_dir: str, chunk: int = 32768,
                     mcfg_fine: Optional[ModelConfig] = None,
                     occ_grid=None,
                     platforms: Optional[Sequence[str]] = None,
+                    fused_n_rays: Optional[int] = None,
                     provenance: Optional[dict] = None) -> dict:
     """Serialize the render function + weights into ``out_dir``.
 
     ``platforms``: lowering targets (default tries ``("cpu", "tpu")``
     and falls back to the current backend alone if a cross-platform
-    lowering rule is unavailable).  Returns the manifest dict.
+    lowering rule is unavailable).  ``fused_n_rays``: additionally
+    export a single-dispatch whole-batch module for exactly this many
+    rays (rounded up to a chunk multiple — pass H*W to serve fixed-size
+    images in one call).  Returns the manifest dict.
     """
     fn = build_chunk_fn(params_c, params_f, mcfg, rcfg, mcfg_fine,
                         occ_grid)
@@ -95,22 +133,22 @@ def export_renderer(params_c, params_f, mcfg: ModelConfig,
             jax.ShapeDtypeStruct((), jnp.uint32))
     out_shapes = jax.eval_shape(fn, *args)  # ground truth for the manifest
 
-    tried = [tuple(platforms)] if platforms else [("cpu", "tpu"), None]
-    exported = err = None
-    for plats in tried:
-        try:
-            exported = jax.export.export(
-                jax.jit(fn), platforms=list(plats) if plats else None
-            )(*args)
-            break
-        except Exception as e:  # e.g. no TPU lowering rule in this env
-            err = e
-    if exported is None:
-        raise RuntimeError(f"jax.export failed for {tried}: {err}")
+    exported = _export_one(fn, args, platforms)
 
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, MODULE_FILE), "wb") as f:
         f.write(exported.serialize())
+
+    fused_total = None
+    if fused_n_rays:
+        fused_total = -(-int(fused_n_rays) // chunk) * chunk
+        ffn = build_fused_fn(params_c, params_f, mcfg, rcfg, chunk,
+                             mcfg_fine, occ_grid)
+        fexp = _export_one(
+            ffn, (jax.ShapeDtypeStruct((fused_total, rdim), jnp.float32),
+                  jax.ShapeDtypeStruct((), jnp.uint32)), platforms)
+        with open(os.path.join(out_dir, MODULE_FUSED_FILE), "wb") as f:
+            f.write(fexp.serialize())
 
     manifest = {
         "format_version": FORMAT_VERSION,
@@ -125,6 +163,7 @@ def export_renderer(params_c, params_f, mcfg: ModelConfig,
         "n_importance": rcfg.n_importance,
         "perturb": rcfg.perturb,
         "occ_grid_embedded": occ_grid is not None,
+        "fused_n_rays": fused_total,
         "provenance": provenance or {},
     }
     with open(os.path.join(out_dir, MANIFEST_FILE), "w") as f:

@@ -24,16 +24,19 @@ import jax.numpy as jnp
 
 from ..core import render
 from ..core import rays as raysmod
-from .export import MANIFEST_FILE, MODULE_FILE
+from .export import MANIFEST_FILE, MODULE_FILE, MODULE_FUSED_FILE
 
 
 class ServingRenderer:
-    def __init__(self, manifest: dict, exported, devices=None):
+    def __init__(self, manifest: dict, exported, devices=None,
+                 fused=None):
         self.manifest = manifest
         self.chunk = int(manifest["chunk"])
         self.ray_dim = int(manifest["ray_dim"])
         self._call = jax.jit(exported.call)
         self.devices = list(devices) if devices else None
+        self.fused_n_rays = manifest.get("fused_n_rays")
+        self._fused_call = jax.jit(fused.call) if fused is not None else None
 
     @classmethod
     def load(cls, artifact_dir: str, devices=None) -> "ServingRenderer":
@@ -49,7 +52,12 @@ class ServingRenderer:
                 f"unsupported artifact format: {manifest.get('format_version')}")
         with open(os.path.join(artifact_dir, MODULE_FILE), "rb") as f:
             exported = jax.export.deserialize(bytearray(f.read()))
-        return cls(manifest, exported, devices=devices)
+        fused = None
+        fpath = os.path.join(artifact_dir, MODULE_FUSED_FILE)
+        if manifest.get("fused_n_rays") and os.path.exists(fpath):
+            with open(fpath, "rb") as f:
+                fused = jax.export.deserialize(bytearray(f.read()))
+        return cls(manifest, exported, devices=devices, fused=fused)
 
     def render_rays(self, rays, seed: int = 0) -> Dict[str, np.ndarray]:
         """rays: [n, ray_dim] packed like core.render.make_ray_batch
@@ -70,6 +78,12 @@ class ServingRenderer:
         if pad:
             rays = np.concatenate(
                 [rays, np.broadcast_to(rays[-1:], (pad, self.ray_dim))], 0)
+        if (self._fused_call is not None and not self.devices
+                and rays.shape[0] == self.fused_n_rays):
+            # single-dispatch whole-batch module (the eval frontend's
+            # exact program, incl. its split-per-chunk key semantics)
+            out = self._fused_call(jnp.asarray(rays), jnp.uint32(seed))
+            return {k: np.asarray(v)[:n] for k, v in out.items()}
         outs = []
         for i in range(rays.shape[0] // self.chunk):
             cb = jnp.asarray(rays[i * self.chunk:(i + 1) * self.chunk])

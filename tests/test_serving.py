@@ -191,3 +191,36 @@ def test_export_with_distinct_fine_dims(tmp_path):
                                 mcfg_fine=mcfg_fine)
     np.testing.assert_allclose(out["rgb_map"], np.asarray(direct["rgb_map"]),
                                atol=1e-5)
+
+
+def test_fused_image_module_matches_eval_frontend(tmp_path):
+    """fused_n_rays: the whole-image module is the eval frontend's exact
+    program (eval/images._render_flat_local incl. its split-per-chunk key
+    semantics), so with perturb ON and the same key the artifact equals
+    EI.render_image bit-for-bit; non-matching ray counts fall back to the
+    per-chunk path."""
+    pc, pf = _params()
+    rcfg = RenderConfig(n_samples=16, n_importance=8, mode="linear",
+                        white_bkgd=True, perturb=True)
+    H = W = 16
+    man = SE.export_renderer(pc, pf, MCFG, rcfg, str(tmp_path), chunk=64,
+                             fused_n_rays=H * W)
+    assert man["fused_n_rays"] == 256  # 16*16 already a chunk multiple
+    assert os.path.exists(os.path.join(str(tmp_path), "module_fused.bin"))
+    r = ServingRenderer.load(str(tmp_path))
+    assert r._fused_call is not None
+
+    focal = 20.0
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                 np.float32)
+    c2w = np.eye(4, dtype=np.float32)[:3]
+    c2w[2, 3] = 4.0
+    served = r.render_image(c2w, (H, W, focal), K, seed=0)
+    ref = EI.render_image(pc, pf, c2w, (H, W, focal), K, MCFG, rcfg,
+                          jax.random.PRNGKey(0), chunk=64)
+    np.testing.assert_array_equal(served["rgb_map"],
+                                  np.asarray(ref["rgb_map"]))
+
+    # a non-matching count uses the per-chunk path and still works
+    out = r.render_rays(_rays(100), seed=0)
+    assert out["rgb_map"].shape == (100, 3)
