@@ -47,7 +47,8 @@ def main():
 
     art = tempfile.mkdtemp(prefix="serve_bench_")
     t0 = time.time()
-    SE.export_renderer(pc, pf, mcfg, rcfg, art, chunk=args.chunk)
+    SE.export_renderer(pc, pf, mcfg, rcfg, art, chunk=args.chunk,
+                       fused_n_rays=args.size * args.size)
     t_export = time.time() - t0
     server = ServingRenderer.load(art)
 
@@ -58,9 +59,18 @@ def main():
     c2w = np.eye(4, dtype=np.float32)[:3]
     c2w[2, 3] = 4.0
 
-    def serve():
+    def serve_fused():
         out = server.render_image(c2w, (H, W, focal), K)
         return float(out["rgb_map"].sum())        # host values already
+
+    def serve_chunked():
+        # bypass the fused module: call the per-chunk path directly
+        fc, server._fused_call = server._fused_call, None
+        try:
+            out = server.render_image(c2w, (H, W, focal), K)
+        finally:
+            server._fused_call = fc
+        return float(out["rgb_map"].sum())
 
     def inproc():
         out = EI.render_image(pc, pf, c2w, (H, W, focal), K, mcfg, rcfg,
@@ -68,7 +78,9 @@ def main():
         return float(np.asarray(out["rgb_map"]).sum())  # value fetch
 
     rows = []
-    for name, fn in (("serving", serve), ("inprocess", inproc)):
+    for name, fn in (("serving-fused", serve_fused),
+                     ("serving-chunked", serve_chunked),
+                     ("inprocess", inproc)):
         fn()  # compile + settle
         fn()
         best = float("inf")
@@ -83,7 +95,7 @@ def main():
                "chunk": args.chunk,
                "s_per_img": round(best, 3),
                "rays_per_sec": round(H * W / best, 1)}
-        if name == "serving":
+        if name == "serving-fused":
             row["export_s"] = round(t_export, 2)
         rows.append(row)
         print(json.dumps(row), flush=True)
