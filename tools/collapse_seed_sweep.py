@@ -55,6 +55,13 @@ def main():
     ap.add_argument("--sigma_bias_init", type=float, default=0.0,
                     help="density-head bias init offset under test; "
                          "records get a -sb<val> run suffix when nonzero")
+    ap.add_argument("--n_rand", type=int, default=1024)
+    ap.add_argument("--budget", type=str, default=None,
+                    help="Ns,Ni override (reduced-compute CPU mode: the "
+                         "full 8x256 net is what carries the init trap, "
+                         "but constant-mode death is gradient-structural "
+                         "and shows at any ray/sample count; records get "
+                         "a -b<total> suffix)")
     ap.add_argument("--ckpt_dir", default="/tmp/collapse_sweep")
     ap.add_argument("--out",
                     default=os.path.join(REPO, "convergence_runs.jsonl"))
@@ -72,10 +79,15 @@ def main():
              if args.seed_list else list(range(args.seeds)))
     sb = args.sigma_bias_init
     suffix = f"-sb{sb:g}" if sb != 0.0 else ""
+    if args.budget:
+        bns, bni = (int(x) for x in args.budget.split(","))
+        suffix += f"-b{bns + bni}"
 
     records = []
     for variant, (mode, ci) in variants.items():
         ns, ni = (128, 64) if mode == "linear" else (64, 128)
+        if args.budget:
+            ns, ni = bns, bni
         for seed in seeds:
             exp = f"sw_{variant}{suffix}_{seed}"
             t0 = time.time()
@@ -87,7 +99,7 @@ def main():
                 "--num_train", "42", "--data_dir", DATA,
                 "--ckpt_dir", args.ckpt_dir, "--expname", exp,
                 "--no_batching", "--use_viewdirs", "--white_bkgd",
-                "--N_rand", "1024", "--N_samples", str(ns),
+                "--N_rand", str(args.n_rand), "--N_samples", str(ns),
                 "--N_importance", str(ni), "--mlp_dtype", "bfloat16",
                 "--precrop_iters", "500", "--lrate", "5e-4",
                 "--lrate_decay", "250",
