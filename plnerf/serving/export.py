@@ -12,8 +12,13 @@ artifact directory:
   constants.  The artifact carries no Python model code — any process
   with jax installed can load and run it, on every platform it was
   lowered for (default: cpu + tpu).
+* ``module_fused.bin`` (optional, ``fused_n_rays`` / ``--serve_image``)
+  — a whole-batch variant running the eval frontend's exact
+  lax.map-over-chunks program: one device dispatch per fixed-size
+  image instead of n_chunks.
 * ``manifest.json`` — chunk size, ray layout, output keys and the
-  provenance (mode/sample counts/checkpoint path) needed to drive it.
+  provenance (mode/sample counts/checkpoint path/ray-geometry hints)
+  needed to drive it.
 
 Serving semantics follow ``--task test`` exactly: ``raw_noise_std=0``
 with the reference's perturb-at-test quirk preserved by default (the
