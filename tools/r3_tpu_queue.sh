@@ -2,6 +2,12 @@
 # Round-3 TPU backlog — run when the axon relay comes back.
 # ONE TPU process at a time (CLAUDE.md); each step bounded by timeout.
 # Usage: bash tools/r3_tpu_queue.sh [step]   (default: all, in order)
+#
+# STATUS 2026-08-19: relay returned; bench / sbias / evalpallas /
+# servebench / tw all RAN and are written up in BASELINE.md +
+# convergence_runs.jsonl.  Still pending (need more TPU-hours than a
+# session): sceval (must retrain /tmp/fixdist_mobj first — /tmp was
+# wiped), sctrain, long500k.
 set -u
 cd "$(dirname "$0")/.."
 LOG=/tmp/r3_tpu_queue.log
