@@ -88,15 +88,24 @@ def eval_test(state, ds, mcfg, rcfg, n_views, seed, pixel_center=False,
 
 
 def run_nvs(mode, iters, tiny, slab=True, occ_floor=0.03,
-            lrate_decay=250, eval_every=1000):
+            lrate_decay=250, eval_every=1000, ckpt_dir="", ckpt_every=10000):
     """mode: constant | linear | occ (linear recipe with occupancy-grid
     guided coarse sampling, 32 guided + 64 importance — the quality half
     of the occ-grid >=2x claim; throughput half lives in bench.py).
     Occ-trained models are EVALUATED with the grid too (train/eval sample
-    distributions must match, see eval/images.render_image)."""
+    distributions must match, see eval/images.render_image).
+
+    ``ckpt_dir`` turns on chunked execution: the TrainState + RNG key +
+    cumulative wall time are checkpointed every ``ckpt_every`` iters
+    (plnerf.checkpoint.io msgpack, latest-2 kept) and a rerun with the
+    same args auto-resumes from the latest checkpoint — a dead relay
+    costs at most one chunk of a long-horizon run (VERDICT r3 item 1).
+    The RNG key rides in the checkpoint, so the resumed trajectory is the
+    same stream the uninterrupted run would have drawn."""
     import jax
     import jax.numpy as jnp
 
+    from plnerf.checkpoint import io as ckio
     from plnerf.core import occgrid as og
     from plnerf.core.config import ModelConfig, RenderConfig
     from plnerf.train import batching, step as train_step
@@ -165,9 +174,33 @@ def run_nvs(mode, iters, tiny, slab=True, occ_floor=0.03,
     phases = {}
     key = jax.random.key(1)
     done = 0
-    t0 = time.time()
+    prior_elapsed = 0.0
     carry = state
     occ_engaged = False
+
+    def ckpt_tree(st, k, elapsed):
+        return {"state": st, "key": jax.random.key_data(k),
+                "elapsed": jnp.asarray(elapsed, jnp.float32)}
+
+    if ckpt_dir:
+        latest = ckio.latest_checkpoint(ckpt_dir)
+        if latest is not None:
+            tmpl = ckpt_tree(state, key, 0.0)
+            restored = ckio.restore_checkpoint(latest, tmpl)
+            carry = restored["state"]
+            key = jax.random.wrap_key_data(restored["key"])
+            prior_elapsed = float(restored["elapsed"])
+            done = int(os.path.basename(latest).split(".")[0])
+            if use_occ and done >= occ_warmup:
+                grid0 = og.init_grid([-2.0] * 3, [2.0] * 3, occ_cfg)
+                grid = ckio.restore_checkpoint(
+                    ckio.aux_path(latest, "occ"), grid0)
+                carry = (carry, grid)
+                occ_engaged = True
+            print(f"resumed {latest} at iter {done} "
+                  f"({prior_elapsed:.0f}s prior)", flush=True)
+
+    t0 = time.time()
     while done < iters:
         ci = qmode == "linear" and done < constant_init
         pc = done < precrop_iters
@@ -195,13 +228,25 @@ def run_nvs(mode, iters, tiny, slab=True, occ_floor=0.03,
                         float(metrics["occ_ray_frac"]), 4)
             emit({"run": tag, "iter": done,
                   "train_psnr": round(train_psnr, 2), **ev,
-                  "elapsed_s": round(time.time() - t0, 1)})
+                  "elapsed_s": round(prior_elapsed + time.time() - t0, 1)})
+        if ckpt_dir and (done % ckpt_every == 0 or done >= iters):
+            st = carry[0] if occ_engaged else carry
+            path = ckio.save_checkpoint(
+                ckpt_dir, done,
+                ckpt_tree(st, key, prior_elapsed + time.time() - t0))
+            if occ_engaged:
+                ckio.save_aux(path, "occ", carry[1])
+            for old in ckio.list_checkpoints(ckpt_dir)[:-2]:
+                os.remove(old)
+                occ_side = ckio.aux_path(old, "occ")
+                if os.path.exists(occ_side):
+                    os.remove(occ_side)
     state = carry[0] if occ_engaged else carry
     occ = (occ_cfg, carry[1]) if occ_engaged else None
     final = eval_test(state, ds, mcfg, rcfg, n_views=len(ds.i_test),
                       seed=999, occ=occ)
     emit({"run": tag, "iter": done, "final": True, **final,
-          "elapsed_s": round(time.time() - t0, 1)})
+          "elapsed_s": round(prior_elapsed + time.time() - t0, 1)})
 
 
 def run_depth(iters, tiny, use_occ=False, slab=True, occ_floor=0.03, eval_every=1000,
@@ -308,6 +353,10 @@ def main():
                     help="held-out eval cadence (raise for long-horizon "
                          "runs: 500 per-1k evals would dominate a 500k "
                          "run's wall time)")
+    ap.add_argument("--ckpt_dir", default="",
+                    help="enable chunked execution: checkpoint/auto-resume "
+                         "the NVS run here (latest 2 kept)")
+    ap.add_argument("--ckpt_every", type=int, default=10000)
     ap.add_argument("--scene", default="slab", choices=["slab", "sparse"],
                     help="slab: spheres + checkered ground slab; sparse: "
                          "spheres only (object-centric, mostly empty rays "
@@ -327,7 +376,8 @@ def main():
             run_nvs(m, args.iters, args.tiny, slab=slab,
                     occ_floor=args.occ_floor,
                     lrate_decay=args.lrate_decay,
-                    eval_every=args.eval_every)
+                    eval_every=args.eval_every,
+                    ckpt_dir=args.ckpt_dir, ckpt_every=args.ckpt_every)
 
 
 if __name__ == "__main__":
