@@ -138,11 +138,18 @@ def _spherify(poses, bds):
     return poses_reset, new_poses, bds
 
 
-def _minify(basedir: str, factor: int):
-    """Cache downsampled images under images_{factor}/ using cv2."""
+def _minify(basedir: str, factor: int = None, resolution=None):
+    """Cache downsampled images under images_{factor}/ (or
+    images_{W}x{H}/ for an explicit ``resolution=(H, W)`` target) using
+    cv2.  Mirrors load_llff.py:8-57's two target kinds (percent-of-factor
+    vs WxH mogrify args) without the imagemagick dependency."""
     import cv2
 
-    out_dir = os.path.join(basedir, f"images_{factor}")
+    if resolution is not None:
+        h, w = resolution
+        out_dir = os.path.join(basedir, f"images_{w}x{h}")
+    else:
+        out_dir = os.path.join(basedir, f"images_{factor}")
     if os.path.exists(out_dir):
         return
     src_dir = os.path.join(basedir, "images")
@@ -154,15 +161,18 @@ def _minify(basedir: str, factor: int):
     for name in names:
         img = cv2.imread(os.path.join(src_dir, name), cv2.IMREAD_UNCHANGED)
         h, w = img.shape[:2]
-        small = cv2.resize(
-            img, (int(round(w / factor)), int(round(h / factor))),
-            interpolation=cv2.INTER_AREA,
-        )
+        size = ((int(round(w / factor)), int(round(h / factor)))
+                if resolution is None else (resolution[1], resolution[0]))
+        small = cv2.resize(img, size, interpolation=cv2.INTER_AREA)
         base = os.path.splitext(name)[0]
         cv2.imwrite(os.path.join(out_dir, base + ".png"), small)
 
 
-def _load_data(basedir: str, factor: int):
+def _load_data(basedir: str, factor: int, width: int = None,
+               height: int = None):
+    """``factor`` wins; otherwise an explicit ``height`` (then ``width``)
+    target derives the other dimension from the native aspect ratio —
+    the precedence chain of load_llff.py:62-89."""
     import imageio.v2 as imageio
 
     poses_arr = np.load(os.path.join(basedir, "poses_bounds.npy"))
@@ -173,6 +183,20 @@ def _load_data(basedir: str, factor: int):
     if factor is not None and factor != 1:
         sfx = f"_{factor}"
         _minify(basedir, factor)
+    elif height is not None or width is not None:
+        src_dir = os.path.join(basedir, "images")
+        name0 = sorted(
+            f for f in os.listdir(src_dir)
+            if f.lower().endswith((".jpg", ".jpeg", ".png")))[0]
+        sh = imageio.imread(os.path.join(src_dir, name0)).shape
+        if height is not None:
+            factor = sh[0] / float(height)
+            width = int(sh[1] / factor)
+        else:
+            factor = sh[1] / float(width)
+            height = int(sh[0] / factor)
+        _minify(basedir, resolution=(height, width))
+        sfx = f"_{width}x{height}"
     else:
         factor = 1
 
@@ -199,11 +223,13 @@ def _load_data(basedir: str, factor: int):
 def load_llff_data(
     basedir: str, factor: int = 8, recenter: bool = True,
     bd_factor: float = 0.75, spherify: bool = False,
-    path_zflat: bool = False,
+    path_zflat: bool = False, width: int = None, height: int = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
     """Returns (images [N,H,W,3], poses [N,3,5], bds [N,2], render_poses,
-    i_test) — same contract as the reference load_llff_data."""
-    poses, bds, imgs = _load_data(basedir, factor)
+    i_test) — same contract as the reference load_llff_data (incl. the
+    width/height explicit-resolution variant, load_llff.py:246)."""
+    poses, bds, imgs = _load_data(basedir, factor, width=width,
+                                  height=height)
 
     # column swap: (down, right, back) -> (right, up, back)
     poses = np.concatenate(

@@ -1,4 +1,6 @@
 """Loader tests on synthesized on-disk fixtures in each reference layout."""
+import os
+
 import numpy as np
 import pytest
 
@@ -73,6 +75,28 @@ def test_load_llff(tmp_path):
     assert 0 <= i_test < 6
     # bd rescale: min bound * 0.75 -> 1/sc makes min bound 1/0.75
     np.testing.assert_allclose(bds.min(), 1.0 / 0.75, rtol=1e-5)
+
+
+def test_load_llff_resolution_variants(tmp_path):
+    """The width/height explicit-resolution _minify variant
+    (load_llff.py:8-57,74-86): ``height`` derives width from the native
+    aspect, ``width`` the reverse, both cache under images_{W}x{H}/ and
+    rescale the focal by the derived factor."""
+    basedir = fixtures.make_llff_scene(str(tmp_path), n=6)  # native 32x32
+    images, poses, _, _, _ = llff_data.load_llff_data(
+        basedir, factor=None, height=16)
+    assert images.shape == (6, 16, 16, 3)
+    assert os.path.isdir(os.path.join(basedir, "images_16x16"))
+    # hwf row carries the minified size + focal/2
+    ih, iw, ifoc = poses[0, :, 4]
+    assert (ih, iw) == (16, 16)
+    images_f, poses_f, _, _, _ = llff_data.load_llff_data(
+        basedir, factor=2)
+    np.testing.assert_allclose(ifoc, poses_f[0, 2, 4], rtol=1e-6)
+    np.testing.assert_allclose(images, images_f, atol=1e-6)
+    images_w, _, _, _, _ = llff_data.load_llff_data(
+        basedir, factor=None, width=8)
+    assert images_w.shape == (6, 8, 8, 3)
 
 
 def test_load_llff_spherify(tmp_path):
