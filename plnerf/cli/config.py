@@ -251,6 +251,15 @@ def add_occ_flags(a) -> None:
     a("--occ_floor", type=float, default=0.03,
       help="PDF floor for unoccupied candidate bins (also the coarse "
            "net's only empty-space training signal — see OccGridConfig)")
+    a("--occ_keep_degenerate", action="store_true",
+      help="keep grid guidance even after the degenerate-guidance guard "
+           "trips (occ_ray_frac > 0.35 past the carve-in grace window). "
+           "Default behavior AUTO-DISABLES guidance for the rest of the "
+           "run — on scenes the grid cannot help (slab/forward-facing "
+           "geometry) guided sampling measured ~1.7 dB WORSE than "
+           "uniform (BASELINE.md occ A/B). NVS trainer only; the depth "
+           "trainer stays advisory-only because space-carving "
+           "supervision closes the gap")
     a("--occ_eval_fresh_grid", action="store_true",
       help="allow --occ_grid eval tasks to proceed with a fresh "
            "all-occupied grid when no <step>.occ sidecar exists next to "

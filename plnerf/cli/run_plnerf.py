@@ -184,9 +184,13 @@ OCC_DEGENERATE_RAY_FRAC = 0.35
 OCC_ADVISORY_GRACE = 2048
 
 
-def _occ_advisory(m: dict, step: int, warm_end: int, warned: bool) -> bool:
+def _occ_advisory(m: dict, step: int, warm_end: int, warned: bool,
+                  auto_fallback: bool = False) -> bool:
     """Print a loud one-time advisory when post-warmup guidance is
-    degenerate (train/step._apply_occ_update reports occ_ray_frac)."""
+    degenerate (train/step._apply_occ_update reports occ_ray_frac).
+    ``auto_fallback`` adjusts the printed remedy: the NVS trainer acts on
+    the signal (guidance auto-disabled at the call site) rather than only
+    advising."""
     frac = m.get("occ_ray_frac")
     if (warned or frac is None or frac <= OCC_DEGENERATE_RAY_FRAC
             or step <= warm_end + OCC_ADVISORY_GRACE):
@@ -200,9 +204,20 @@ def _occ_advisory(m: dict, step: int, warm_end: int, warned: bool) -> bool:
           "(slab/forward-facing-like geometry crosses most rays), so "
           "--occ_grid only spreads the reduced sample count thinner — "
           "measured ~1.7 dB WORSE than the uniform path on such scenes "
-          "(BASELINE.md occ A/B). Re-run without --occ_grid (or with the "
-          "full uniform --N_samples) unless depth supervision is active, "
-          "which closes the gap.")
+          "(BASELINE.md occ A/B).")
+    if auto_fallback:
+        print("AUTO-FALLBACK: grid guidance is now DISABLED for the rest "
+              "of this run — training continues with uniform stratified "
+              "sampling at the configured --N_samples, no further .occ "
+              "sidecars are written, and eval tasks on the resulting "
+              "checkpoints must run WITHOUT --occ_grid (sample "
+              "distributions must match). Pass --occ_keep_degenerate to "
+              "force-keep guidance; for full reference quality re-run "
+              "without --occ_grid at the full uniform --N_samples.")
+    else:
+        print("Re-run without --occ_grid (or with the full uniform "
+              "--N_samples) unless depth supervision is active, which "
+              "closes the gap.")
     print("=" * 72)
     return True
 
@@ -567,7 +582,19 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
             print(f"[TRAIN] Iter: {i} Loss: {m['loss']:.5f} "
                   f"PSNR: {m['psnr']:.2f} ({m['steps_per_sec']:.1f} it/s)")
             if occ_on:
-                occ_warned = _occ_advisory(m, i, occ_warm_end, occ_warned)
+                was_warned = occ_warned
+                occ_warned = _occ_advisory(
+                    m, i, occ_warm_end, occ_warned,
+                    auto_fallback=not args.occ_keep_degenerate)
+                if occ_warned and not was_warned \
+                        and not args.occ_keep_degenerate:
+                    # act on the calibrated signal (VERDICT r3 item 6):
+                    # drop to the already-compiled uniform step variants,
+                    # stop grid updates and sidecar writes; later eval
+                    # tasks see no grid and score uniformly — matching
+                    # the post-fallback training distribution
+                    occ_cfg = None
+                    occ_state = None
             dead_warned = _dead_coarse_advisory(m, i, dead_warned,
                                                 args.mode)
             if getattr(args, "debug", False):

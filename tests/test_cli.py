@@ -411,8 +411,11 @@ def test_occ_resume_and_eval_guardrails(scene_dir, tmp_path, capsys,
 
     a) resuming with a restored .occ sidecar engages the grid IMMEDIATELY
        (warmup is an absolute step count, not re-applied per resume);
-    b) degenerate-guidance advisory: on a scene where most candidate bins
-       along rays stay occupied, the driver prints a loud warning;
+    b) degenerate-guidance guard (VERDICT r3 item 6): on a scene where
+       most candidate bins along rays stay occupied, the driver prints a
+       loud warning AND auto-disables guidance for the rest of the run
+       (uniform steps, no further .occ sidecars) unless
+       --occ_keep_degenerate;
     c) --occ_grid eval without a sidecar is a hard error unless
        --occ_eval_fresh_grid is passed.
     """
@@ -449,6 +452,27 @@ def test_occ_resume_and_eval_guardrails(scene_dir, tmp_path, capsys,
     # already carries the grid metric (the old bug re-warmed 6 steps)
     assert post and min(r["step"] for r in post) <= 12
     assert "DEGENERATE" in out
+    # (b) the guard ACTS: guidance is dropped from the advisory step on —
+    # later prints carry no grid metric and the final checkpoint has no
+    # .occ sidecar (eval must be uniform to match the training tail)
+    assert "AUTO-FALLBACK" in out
+    fb_step = min(r["step"] for r in post)
+    assert all(r["step"] <= fb_step for r in post)
+    assert not os.path.exists(os.path.join(exp, "000016.occ"))
+
+    # (b') --occ_keep_degenerate force-keeps guidance: advisory still
+    # prints, grid metrics continue, sidecar is written
+    capsys.readouterr()
+    plnerf_main([a if a != "g" else "gk" for a in common]
+                + ["--num_iterations", "16", "--occ_keep_degenerate"])
+    out_k = capsys.readouterr().out
+    assert "DEGENERATE" in out_k and "AUTO-FALLBACK" not in out_k
+    exp_k = os.path.join(ckpt_dir, "gk")
+    assert os.path.exists(os.path.join(exp_k, "000016.occ"))
+    log_k = [json.loads(l) for l in open(
+        os.path.join(exp_k, "metrics.jsonl"))]
+    assert any("train/occ_ray_frac" in r and r["step"] >= 14
+               for r in log_k)
 
     # (c): occ eval with the sidecar deleted
     for f in os.listdir(exp):
