@@ -100,7 +100,7 @@ def _pad_bias(b, cols: int):
 
 
 def _padded_weights(params, cfg: ModelConfig, in_p: int, w_p: int,
-                    v_p: int, h_p: int, dtype):
+                    v_p: int, h_p: int, dtype, fold_heads: bool = False):
     """Zero-pad every weight to lane-multiple shapes.
 
     Concat-free layout (measured: tools/mosaic_probe.py shows Mosaic
@@ -125,7 +125,35 @@ def _padded_weights(params, cfg: ModelConfig, in_p: int, w_p: int,
             tensors += [_pad2(w, in_p if i == 0 else w_p, w_p).astype(dtype),
                         _pad_bias(b, w_p)]
 
-    if cfg.use_viewdirs:
+    if cfg.use_viewdirs and fold_heads:
+        # MINIMAL-PASS head schedule (round 4, VERDICT r3 item 3): the
+        # reference applies NO relu between feature_linear and the views
+        # layer (run_nerf_helpers.py:115-121), so the feature dot folds
+        # into the views layer by associativity —
+        #   feature @ Wv1 = (h @ Wf + bf) @ Wv1 = h @ (Wf@Wv1) + bf@Wv1
+        # — and the folded [W, W/2] block N-concat-merges with the alpha
+        # head into ONE [w_p, h_p + LANE] dot.  Head passes drop 4 -> 3
+        # (and the per-row flops nearly halve); the weight-side fold is
+        # O(W^2 * W/2) once per step, done here in fp32 before the cast.
+        wf = params["feature_linear"]["w"].astype(jnp.float32)
+        bf = params["feature_linear"]["b"].astype(jnp.float32)
+        wa, ba = params["alpha_linear"]["w"], params["alpha_linear"]["b"]
+        vw = params["views_linears"][0]["w"].astype(jnp.float32)
+        vb = params["views_linears"][0]["b"].astype(jnp.float32)
+        wfv = wf @ vw[:W]                       # [W, W//2]
+        bfv = bf @ vw[:W] + vb                  # [W//2]
+        wfa2 = jnp.zeros((w_p, h_p + LANE), jnp.float32)
+        wfa2 = wfa2.at[:W, : wfv.shape[1]].set(wfv)
+        wfa2 = wfa2.at[:W, h_p:h_p + 1].set(wa)
+        b2 = jnp.zeros((1, h_p + LANE), jnp.float32)
+        b2 = b2.at[0, : bfv.shape[0]].set(bfv).at[0, h_p].set(ba[0])
+        tensors += [
+            wfa2.astype(dtype), b2,
+            _pad2(vw[W:], v_p, h_p).astype(dtype),
+            _pad2(params["rgb_linear"]["w"], h_p, LANE).astype(dtype),
+            _pad_bias(params["rgb_linear"]["b"], LANE),
+        ]
+    elif cfg.use_viewdirs:
         # feature + alpha heads read the same h: fuse into ONE
         # [w_p, w_p + LANE] dot (feature in lanes 0..w_p-1, alpha in lane
         # w_p) — one wide dot beats a wide + a narrow one on the MXU
@@ -153,7 +181,7 @@ def _padded_weights(params, cfg: ModelConfig, in_p: int, w_p: int,
     return tensors
 
 
-def _kernel(cfg: ModelConfig, n_pts_layers: int, dtype,
+def _kernel(cfg: ModelConfig, n_pts_layers: int, dtype, fold_heads: bool,
             x_ref, v_ref, *refs):
     """One tile: x [T, in_p], v [T, v_p] -> out [T, 2*LANE]
     (viewdirs: rgb in lanes 0..LANE-1, density in lane LANE; plain:
@@ -194,7 +222,17 @@ def _kernel(cfg: ModelConfig, n_pts_layers: int, dtype,
             ri += 2
         h = jnp.maximum(z, 0.0)
 
-    if cfg.use_viewdirs:
+    if cfg.use_viewdirs and fold_heads:
+        # minimal-pass heads: ONE [w_p, h_p+LANE] dot carries the folded
+        # feature->views block AND the alpha column (see _padded_weights)
+        h_p = wrefs[ri].shape[1] - LANE
+        t = mm(h, wrefs[ri]) + wrefs[ri + 1][:]    # [T, h_p + LANE]
+        alpha = t[:, h_p:]                         # [T, LANE], lane 0 live
+        hv = jnp.maximum(t[:, :h_p] + mm(v_ref[:], wrefs[ri + 2]), 0.0)
+        rgb = mm(hv, wrefs[ri + 3]) + wrefs[ri + 4][:]       # [T, LANE]
+        out_ref[:, :LANE] = rgb
+        out_ref[:, LANE:] = alpha
+    elif cfg.use_viewdirs:
         w_p = wrefs[ri].shape[0]
         fa = mm(h, wrefs[ri]) + wrefs[ri + 1][:]   # [T, w_p + LANE]
         feature = fa[:, :w_p]
@@ -211,11 +249,12 @@ def _kernel(cfg: ModelConfig, n_pts_layers: int, dtype,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "dtype_name", "tile", "interpret")
+    jax.jit,
+    static_argnames=("cfg", "dtype_name", "tile", "interpret", "fold_heads")
 )
 def _forward(params, pts_embed, views_embed, cfg: ModelConfig,
              dtype_name: str = "float32", tile: int = 512,
-             interpret: bool = False):
+             interpret: bool = False, fold_heads: bool = False):
     """pts_embed [N, in_ch]; views_embed [N, vch] or None -> raw [N, 4]."""
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     N, in_ch = pts_embed.shape
@@ -234,10 +273,11 @@ def _forward(params, pts_embed, views_embed, cfg: ModelConfig,
     else:
         v = jnp.zeros((n_pad, v_p), dtype)
 
-    weights = _padded_weights(params, cfg, in_p, w_p, v_p, h_p, dtype)
+    weights = _padded_weights(params, cfg, in_p, w_p, v_p, h_p, dtype,
+                              fold_heads=fold_heads)
     n_layers = len(params["pts_linears"])
 
-    kern = functools.partial(_kernel, cfg, n_layers, dtype)
+    kern = functools.partial(_kernel, cfg, n_layers, dtype, fold_heads)
     wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
 
     out = pl.pallas_call(
@@ -267,17 +307,17 @@ def _forward(params, pts_embed, views_embed, cfg: ModelConfig,
     return raw
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _apply_flat(params, pts_embed, views_embed, cfg, dtype_name, tile,
-                interpret):
+                interpret, fold_heads):
     return _forward(params, pts_embed, views_embed, cfg, dtype_name, tile,
-                    interpret)
+                    interpret, fold_heads)
 
 
 def _apply_fwd(params, pts_embed, views_embed, cfg, dtype_name, tile,
-               interpret):
+               interpret, fold_heads):
     out = _forward(params, pts_embed, views_embed, cfg, dtype_name, tile,
-                   interpret)
+                   interpret, fold_heads)
     return out, (params, pts_embed, views_embed)
 
 
@@ -301,7 +341,7 @@ def _layer_ref_walk(cfg: ModelConfig, n_layers: int):
 
 
 def _bwd_kernel(cfg: ModelConfig, n_layers: int, dtype, in_p, w_p, v_p, h_p,
-                x_ref, v_ref, g_ref, *refs):
+                fold_heads, x_ref, v_ref, g_ref, *refs):
     """Backward for the viewdirs topology, one tile per grid step.
 
     Recomputes the forward activations in VMEM, then backpropagates —
@@ -313,7 +353,9 @@ def _bwd_kernel(cfg: ModelConfig, n_layers: int, dtype, in_p, w_p, v_p, h_p,
     grid).
     """
     walk, n_pts_refs = _layer_ref_walk(cfg, n_layers)
-    n_w = n_pts_refs + 7              # + heads: waf baf wvf wvv bv wr br
+    # heads: folded = wfa2 b2 wvv wr br (5); split = waf baf wvf wvv bv
+    # wr br (7)
+    n_w = n_pts_refs + (5 if fold_heads else 7)
     wrefs = refs[:n_w]
     outs = refs[n_w:]
     dx_ref, dv_ref = outs[0], outs[1]
@@ -371,37 +413,61 @@ def _bwd_kernel(cfg: ModelConfig, n_layers: int, dtype, in_p, w_p, v_p, h_p,
         relus.append(h)
 
     ri = n_pts_refs
-    waf = wrefs[ri][:]                         # fused feature|alpha
-    wvf, wvv = wrefs[ri + 2][:], wrefs[ri + 3][:]
-    wr = wrefs[ri + 5][:]
     h_last = h
-    fa = mm(h_last, waf) + wrefs[ri + 1][:]    # [T, w_p + LANE]
-    feature = fa[:, :w_p].astype(act)
-    z_hv = jnp.maximum(
-        mm(feature, wvf) + mm(v, wvv) + wrefs[ri + 4][:], 0.0).astype(act)
-
-    # ---- backward ----
     g = g_ref[:].astype(jnp.float32)           # [T, 2*LANE]
     d_rgb = g[:, :LANE]                        # aligned slice
     d_alpha = g[:, LANE:]
 
-    acc_w(ri + 5, mm_tn(z_hv, d_rgb))
-    acc_b(ri + 6, jnp.sum(d_rgb, axis=0))
-    dhv = mm_nt(d_rgb, wr)
-    # masks compare in f32: the target rejects bf16 comparisons
-    da_v = jnp.where(z_hv.astype(jnp.float32) > 0.0, dhv, 0.0)
-    acc_w(ri + 2, mm_tn(feature, da_v))
-    acc_w(ri + 3, mm_tn(v, da_v))
-    acc_b(ri + 4, jnp.sum(da_v, axis=0))
-    dfeat = mm_nt(da_v, wvf)
-    dv_ref[:] = mm_nt(da_v, wvv)
+    if fold_heads:
+        # minimal-pass heads (see _padded_weights fold): recompute the
+        # single [w_p, h_p+LANE] fused dot, then grads for the FOLDED
+        # tensors — _backward unfolds them to the original params
+        wfa2, wvv, wr = wrefs[ri][:], wrefs[ri + 2][:], wrefs[ri + 3][:]
+        t = mm(h_last, wfa2) + wrefs[ri + 1][:]
+        z_hv = jnp.maximum(
+            t[:, :h_p] + mm(v, wvv), 0.0).astype(act)
 
-    # fused dW_af / db_af: accumulate into aligned slices of the refs
-    grad_refs[ri][:, :w_p] += mm_tn(h_last, dfeat)
-    grad_refs[ri][:, w_p:] += mm_tn(h_last, d_alpha)
-    grad_refs[ri + 1][:, :w_p] += jnp.sum(dfeat, axis=0).reshape(1, -1)
-    grad_refs[ri + 1][:, w_p:] += jnp.sum(d_alpha, axis=0).reshape(1, -1)
-    dh = mm_nt(dfeat, waf[:, :w_p]) + mm_nt(d_alpha, waf[:, w_p:])
+        acc_w(ri + 3, mm_tn(z_hv, d_rgb))
+        acc_b(ri + 4, jnp.sum(d_rgb, axis=0))
+        dhv = mm_nt(d_rgb, wr)
+        # masks compare in f32: the target rejects bf16 comparisons
+        da_v = jnp.where(z_hv.astype(jnp.float32) > 0.0, dhv, 0.0)
+        acc_w(ri + 2, mm_tn(v, da_v))
+        dv_ref[:] = mm_nt(da_v, wvv)
+        grad_refs[ri][:, :h_p] += mm_tn(h_last, da_v)
+        grad_refs[ri][:, h_p:] += mm_tn(h_last, d_alpha)
+        grad_refs[ri + 1][:, :h_p] += jnp.sum(da_v, axis=0).reshape(1, -1)
+        grad_refs[ri + 1][:, h_p:] += jnp.sum(
+            d_alpha, axis=0).reshape(1, -1)
+        dh = mm_nt(da_v, wfa2[:, :h_p]) + mm_nt(d_alpha, wfa2[:, h_p:])
+    else:
+        waf = wrefs[ri][:]                     # fused feature|alpha
+        wvf, wvv = wrefs[ri + 2][:], wrefs[ri + 3][:]
+        wr = wrefs[ri + 5][:]
+        fa = mm(h_last, waf) + wrefs[ri + 1][:]    # [T, w_p + LANE]
+        feature = fa[:, :w_p].astype(act)
+        z_hv = jnp.maximum(
+            mm(feature, wvf) + mm(v, wvv) + wrefs[ri + 4][:],
+            0.0).astype(act)
+
+        acc_w(ri + 5, mm_tn(z_hv, d_rgb))
+        acc_b(ri + 6, jnp.sum(d_rgb, axis=0))
+        dhv = mm_nt(d_rgb, wr)
+        # masks compare in f32: the target rejects bf16 comparisons
+        da_v = jnp.where(z_hv.astype(jnp.float32) > 0.0, dhv, 0.0)
+        acc_w(ri + 2, mm_tn(feature, da_v))
+        acc_w(ri + 3, mm_tn(v, da_v))
+        acc_b(ri + 4, jnp.sum(da_v, axis=0))
+        dfeat = mm_nt(da_v, wvf)
+        dv_ref[:] = mm_nt(da_v, wvv)
+
+        # fused dW_af / db_af: accumulate into aligned slices of the refs
+        grad_refs[ri][:, :w_p] += mm_tn(h_last, dfeat)
+        grad_refs[ri][:, w_p:] += mm_tn(h_last, d_alpha)
+        grad_refs[ri + 1][:, :w_p] += jnp.sum(dfeat, axis=0).reshape(1, -1)
+        grad_refs[ri + 1][:, w_p:] += jnp.sum(
+            d_alpha, axis=0).reshape(1, -1)
+        dh = mm_nt(dfeat, waf[:, :w_p]) + mm_nt(d_alpha, waf[:, w_p:])
 
     dx = jnp.zeros((x.shape[0], x.shape[1]), jnp.float32)
     for i in range(n_layers - 1, -1, -1):
@@ -423,10 +489,12 @@ def _bwd_kernel(cfg: ModelConfig, n_layers: int, dtype, in_p, w_p, v_p, h_p,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "dtype_name", "tile", "interpret")
+    jax.jit,
+    static_argnames=("cfg", "dtype_name", "tile", "interpret", "fold_heads")
 )
 def _backward(params, pts_embed, views_embed, g, cfg: ModelConfig,
-              dtype_name: str, tile: int, interpret: bool):
+              dtype_name: str, tile: int, interpret: bool,
+              fold_heads: bool = False):
     """Fused backward: returns (dparams, dx, dv)."""
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     N, in_ch = pts_embed.shape
@@ -446,11 +514,12 @@ def _backward(params, pts_embed, views_embed, g, cfg: ModelConfig,
     g128 = g128.at[:N, 0:3].set(g[:, 0:3])
     g128 = g128.at[:N, LANE].set(g[:, 3])
 
-    weights = _padded_weights(params, cfg, in_p, w_p, v_p, h_p, dtype)
+    weights = _padded_weights(params, cfg, in_p, w_p, v_p, h_p, dtype,
+                              fold_heads=fold_heads)
     n_layers = len(params["pts_linears"])
 
     kern = functools.partial(_bwd_kernel, cfg, n_layers, dtype,
-                             in_p, w_p, v_p, h_p)
+                             in_p, w_p, v_p, h_p, fold_heads)
     wspecs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weights]
     grad_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32)
                    for w in weights]
@@ -508,10 +577,36 @@ def _backward(params, pts_embed, views_embed, g, cfg: ModelConfig,
         dparams["pts_linears"].append({"w": w_orig, "b": db[0, :W_]})
 
     gi = n_pts_refs
+    vrows = params["views_linears"][0]["w"].shape[0]
+    if fold_heads:
+        # unfold the folded-tensor grads back to the original params
+        # (Wfv = Wf @ Wv1f, bv' = bf @ Wv1f + bv — exact chain rule,
+        # O(W^2 * W/2) weight-side ops):
+        #   dWf  = dWfv @ Wv1f^T          dWv1f = Wf^T @ dWfv + bf ⊗ dbv'
+        #   dbf  = dbv' @ Wv1f^T          dbv   = dbv'
+        h_ = W_ // 2
+        dwfa2, db2 = grads[gi], grads[gi + 1]
+        dwvv, dwr, dbr = grads[gi + 2], grads[gi + 3], grads[gi + 4]
+        dwfv = dwfa2[:W_, :h_]
+        dbv_p = db2[0, :h_]
+        wf = params["feature_linear"]["w"].astype(jnp.float32)
+        bf = params["feature_linear"]["b"].astype(jnp.float32)
+        wv1 = params["views_linears"][0]["w"][:W_].astype(jnp.float32)
+        dparams["alpha_linear"] = {"w": dwfa2[:W_, h_p:h_p + 1],
+                                   "b": db2[0, h_p:h_p + 1]}
+        dparams["feature_linear"] = {"w": dwfv @ wv1.T,
+                                     "b": dbv_p @ wv1.T}
+        dwv1 = wf.T @ dwfv + jnp.outer(bf, dbv_p)
+        dparams["views_linears"] = [{
+            "w": jnp.concatenate(
+                [dwv1, dwvv[:vrows - W_, :h_]], axis=0),
+            "b": dbv_p,
+        }]
+        dparams["rgb_linear"] = {"w": dwr[:h_, :3], "b": dbr[0, :3]}
+        return dparams, dx, dv
     dwaf, dbaf = grads[gi], grads[gi + 1]
     dwvf, dwvv, dbv = grads[gi + 2], grads[gi + 3], grads[gi + 4]
     dwr, dbr = grads[gi + 5], grads[gi + 6]
-    vrows = params["views_linears"][0]["w"].shape[0]
     dparams["alpha_linear"] = {"w": dwaf[:W_, w_p:w_p + 1],
                                "b": dbaf[0, w_p:w_p + 1]}
     dparams["feature_linear"] = {"w": dwaf[:W_, :W_], "b": dbaf[0, :W_]}
@@ -524,7 +619,7 @@ def _backward(params, pts_embed, views_embed, g, cfg: ModelConfig,
     return dparams, dx, dv
 
 
-def _apply_bwd(cfg, dtype_name, tile, interpret, res, g):
+def _apply_bwd(cfg, dtype_name, tile, interpret, fold_heads, res, g):
     """Exact gradients: fused Pallas backward for the viewdirs topology
     (activations recomputed tile-by-tile in VMEM, dW accumulated across
     the grid); XLA-vjp fallback otherwise."""
@@ -533,7 +628,7 @@ def _apply_bwd(cfg, dtype_name, tile, interpret, res, g):
 
     if cfg.use_viewdirs and views_embed is not None:
         return _backward(params, pts_embed, views_embed, g, cfg,
-                         dtype_name, tile, interpret)
+                         dtype_name, tile, interpret, fold_heads)
 
     from ..core.mlp import apply_mlp
     import dataclasses as _dc
@@ -557,9 +652,12 @@ _apply_flat.defvjp(_apply_fwd, _apply_bwd)
 def apply(params, pts_embed: jnp.ndarray,
           views_embed: Optional[jnp.ndarray], cfg: ModelConfig,
           dtype=jnp.float32, tile: int = 512,
-          interpret: Optional[bool] = None) -> jnp.ndarray:
+          interpret: Optional[bool] = None,
+          fold_heads: bool = False) -> jnp.ndarray:
     """Drop-in replacement for ``core.mlp.apply_mlp`` on embedded inputs
-    of any leading shape."""
+    of any leading shape.  ``fold_heads`` selects the minimal-pass head
+    schedule (feature dot folded into the views layer by associativity,
+    N-concat-merged with alpha — exact same math; see _padded_weights)."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     if (cfg.netdepth - 1) in cfg.skips:
@@ -576,7 +674,8 @@ def apply(params, pts_embed: jnp.ndarray,
             views_embed, lead + (views_embed.shape[-1],)
         ).reshape(-1, views_embed.shape[-1])
     dtype_name = "bfloat16" if dtype == jnp.bfloat16 else "float32"
-    raw = _apply_flat(params, x, v, cfg, dtype_name, tile, interpret)
+    raw = _apply_flat(params, x, v, cfg, dtype_name, tile, interpret,
+                      fold_heads)
     if cfg.density_activation == "softplus10":
         # outside the custom-vjp'd core: autodiff handles the softplus
         dens = jax.nn.softplus(10.0 * raw[..., 3:]) / 10.0
