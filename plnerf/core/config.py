@@ -98,6 +98,10 @@ class RenderConfig:
     mlp_dtype: str = "float32"
     # Use the fused Pallas MLP kernel when available.
     use_pallas_mlp: bool = False
+    # Pallas head schedule: fold the (relu-free) feature dot into the
+    # views layer and N-concat-merge it with the alpha head — same math,
+    # one fewer MXU pass per tile (kernels/fused_mlp._padded_weights).
+    pallas_fold_heads: bool = False
     # Occupancy-grid guided coarse sampling (core/occgrid.py).  None =
     # exact reference uniform sampling (the default; parity tests rely on
     # it).  Set to an OccGridConfig to place coarse samples by the grid —

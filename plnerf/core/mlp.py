@@ -169,6 +169,7 @@ def query_network(
     cam_embedding: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,
     use_pallas: bool = False,
+    pallas_fold_heads: bool = False,
 ) -> jnp.ndarray:
     """Embed + forward, the JAX analogue of the reference ``run_network``
     (run_plnerf.py:78-92) without any chunking — XLA handles memory tiling.
@@ -202,7 +203,8 @@ def query_network(
 
     if use_pallas:
         from ..kernels import fused_mlp  # lazy: only when requested
-        return fused_mlp.apply(params, pts_embed, views_embed, cfg, dtype)
+        return fused_mlp.apply(params, pts_embed, views_embed, cfg, dtype,
+                               fold_heads=pallas_fold_heads)
     # keep the [R, S, ch] 3-D form: measured on v5e, flattening to
     # [R*S, ch] makes the step 25% SLOWER (142.6 vs 113.5 ms/step) —
     # XLA handles the batched form better than explicit reshapes

@@ -86,6 +86,7 @@ def render_rays(
                 dtype=(jnp.bfloat16 if rcfg.mlp_dtype == "bfloat16"
                        else jnp.float32),
                 use_pallas=rcfg.use_pallas_mlp,
+                pallas_fold_heads=rcfg.pallas_fold_heads,
             )
 
         if rcfg.remat_mlp:

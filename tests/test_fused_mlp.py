@@ -32,11 +32,13 @@ def _inputs(key, n, mcfg):
     ModelConfig(density_activation="softplus10", pi_bands=True,
                 multires=9, multires_views=0, netwidth=64, netdepth=4),
 ])
-def test_forward_parity(mcfg):
+@pytest.mark.parametrize("fold_heads", [False, True])
+def test_forward_parity(mcfg, fold_heads):
     params = mlp.init_nerf_params(jax.random.PRNGKey(0), mcfg)
     pe, ve = _inputs(jax.random.PRNGKey(1), 391, mcfg)  # odd N -> padding
     ref = mlp.apply_mlp(params, pe, ve, mcfg)
-    got = fused_mlp.apply(params, pe, ve, mcfg, tile=128, interpret=True)
+    got = fused_mlp.apply(params, pe, ve, mcfg, tile=128, interpret=True,
+                          fold_heads=fold_heads)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
 
@@ -54,7 +56,8 @@ def test_forward_parity_leading_shape():
                                atol=2e-5, rtol=2e-5)
 
 
-def test_gradient_parity():
+@pytest.mark.parametrize("fold_heads", [False, True])
+def test_gradient_parity(fold_heads):
     mcfg = ModelConfig(netdepth=3, netwidth=32, multires=4, multires_views=2)
     params = mlp.init_nerf_params(jax.random.PRNGKey(0), mcfg)
     pe, ve = _inputs(jax.random.PRNGKey(1), 64, mcfg)
@@ -64,7 +67,8 @@ def test_gradient_parity():
 
     def loss_pallas(p):
         return jnp.sum(
-            fused_mlp.apply(p, pe, ve, mcfg, tile=128, interpret=True) ** 2)
+            fused_mlp.apply(p, pe, ve, mcfg, tile=128, interpret=True,
+                            fold_heads=fold_heads) ** 2)
 
     g_ref = jax.grad(loss_ref)(params)
     g_pal = jax.grad(loss_pallas)(params)
@@ -75,10 +79,13 @@ def test_gradient_parity():
     )
 
 
-def test_bf16_forward_and_grad_close_to_xla_bf16():
+@pytest.mark.parametrize("fold_heads", [False, True])
+def test_bf16_forward_and_grad_close_to_xla_bf16(fold_heads):
     """bf16 mode keeps HIDDEN activations bf16 inside the kernel exactly
     like the XLA path (core/mlp._dense out_dtype) — outputs and grads must
-    track the XLA bf16 path within bf16 rounding slack."""
+    track the XLA bf16 path within bf16 rounding slack.  The folded-head
+    schedule computes its weight fold in fp32 before the bf16 cast, so it
+    sits within the same slack."""
     mcfg = ModelConfig(netdepth=4, netwidth=64, skips=(2,), multires=4,
                        multires_views=2)
     params = mlp.init_nerf_params(jax.random.PRNGKey(0), mcfg)
@@ -86,7 +93,7 @@ def test_bf16_forward_and_grad_close_to_xla_bf16():
 
     ref = mlp.apply_mlp(params, pe, ve, mcfg, jnp.bfloat16)
     got = fused_mlp.apply(params, pe, ve, mcfg, jnp.bfloat16, tile=128,
-                          interpret=True)
+                          interpret=True, fold_heads=fold_heads)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=3e-2, rtol=3e-2)
 
@@ -95,7 +102,8 @@ def test_bf16_forward_and_grad_close_to_xla_bf16():
 
     def loss_pallas(p):
         return jnp.sum(fused_mlp.apply(p, pe, ve, mcfg, jnp.bfloat16,
-                                       tile=128, interpret=True) ** 2)
+                                       tile=128, interpret=True,
+                                       fold_heads=fold_heads) ** 2)
 
     g_ref = jax.grad(loss_ref)(params)
     g_pal = jax.grad(loss_pallas)(params)

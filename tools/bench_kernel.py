@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--n", type=int, default=8192 * 321)
     ap.add_argument("--tiles", default="512,1024,2048")
     ap.add_argument("--what", default="fwd,fwdbwd")
+    ap.add_argument("--fold", default="both", choices=["both", "on", "off"],
+                    help="head schedule: folded minimal-pass vs split "
+                         "(fused_mlp.apply fold_heads)")
     ap.add_argument("--xla", action="store_true", default=True)
     ap.add_argument("--no-xla", dest="xla", action="store_false")
     args = ap.parse_args()
@@ -74,18 +77,23 @@ def main():
 
             bench(f_bound(_pair_fn(loss), params, x, v), "xla fwd+bwd")
 
+    folds = {"both": (False, True), "on": (True,),
+             "off": (False,)}[args.fold]
     for tile in [int(t) for t in args.tiles.split(",") if t]:
-        if "fwd" in what:
-            f = jax.jit(lambda p, a, b, t=tile: fused_mlp.apply(
-                p, a, b, cfg, jnp.bfloat16, tile=t).sum())
-            bench(f_bound(f, params, x, v), f"pallas fwd tile={tile}")
-        if "fwdbwd" in what:
-            def loss(p, a, b, t=tile):
-                return fused_mlp.apply(p, a, b, cfg, jnp.bfloat16,
-                                       tile=t).sum()
+        for fold in folds:
+            tag = f"tile={tile} fold={int(fold)}"
+            if "fwd" in what:
+                f = jax.jit(lambda p, a, b, t=tile, fh=fold: fused_mlp.apply(
+                    p, a, b, cfg, jnp.bfloat16, tile=t,
+                    fold_heads=fh).sum())
+                bench(f_bound(f, params, x, v), f"pallas fwd {tag}")
+            if "fwdbwd" in what:
+                def loss(p, a, b, t=tile, fh=fold):
+                    return fused_mlp.apply(p, a, b, cfg, jnp.bfloat16,
+                                           tile=t, fold_heads=fh).sum()
 
-            bench(f_bound(_pair_fn(loss), params, x, v),
-                  f"pallas fwd+bwd tile={tile}")
+                bench(f_bound(_pair_fn(loss), params, x, v),
+                      f"pallas fwd+bwd {tag}")
 
 
 def _pair_fn(loss):

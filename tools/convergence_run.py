@@ -250,11 +250,24 @@ def run_nvs(mode, iters, tiny, slab=True, occ_floor=0.03,
 
 
 def run_depth(iters, tiny, use_occ=False, slab=True, occ_floor=0.03, eval_every=1000,
-              occ_threshold=1e-2):
+              occ_threshold=1e-2, sc_weight=0.007, is_joint=False,
+              tag_suffix="", n_hyp=1):
     """Depth-supervised convergence; ``use_occ`` runs the same recipe with
     occupancy-grid guided coarse sampling (32 guided + 64, grid engaged
     from the start — the depth driver's own warmup is exercised by the
-    CLI test) and grid-guided eval."""
+    CLI test) and grid-guided eval.
+
+    ``sc_weight``/``is_joint`` parameterize the round-4 depth-supervision
+    A/B (VERDICT r3 item 2): sc_weight=0 is the photometric-only control
+    at IDENTICAL compute (the per-ray hypotheses are still rendered, only
+    the loss term drops), is_joint switches the space-carving quantile to
+    the reference's per-image joint variant
+    (run_nerf_sample_based_depth.py:1137-1161).  ``n_hyp>1`` stacks
+    scaled copies of the GT depth (x1.0/x0.95/x1.05/...) as the
+    hypothesis set — with a single hypothesis the min-over-hypotheses is
+    trivial and is_joint is mathematically identical to per-ray
+    (losses.space_carving_loss), so the joint arm only means something
+    at n_hyp>=2 (the reference's pipeline carries ~20 prior samples)."""
     import jax
     import jax.numpy as jnp
 
@@ -285,7 +298,8 @@ def run_depth(iters, tiny, use_occ=False, slab=True, occ_floor=0.03, eval_every=
         mlp_dtype="bfloat16", occ=occ_cfg)
     setup = train_step.TrainSetup(
         mcfg=mcfg, rcfg=rcfg, lrate=5e-4, joint_optimizer=True,
-        grad_clip_value=0.1, space_carving_weight=0.007,
+        grad_clip_value=0.1, space_carving_weight=sc_weight,
+        is_joint=is_joint,
         scaleshift_lr=1e-6, freeze_ss=0,
         start_decay_lrate=400000, end_decay_lrate=500000)
     state = train_step.init_state(jax.random.key(0), setup,
@@ -296,7 +310,9 @@ def run_depth(iters, tiny, use_occ=False, slab=True, occ_floor=0.03, eval_every=
     images_j = jnp.asarray(ds.images, jnp.float32)
     poses_j = jnp.asarray(ds.poses, jnp.float32)
     intr_j = jnp.asarray(ds.intrinsics, jnp.float32)
-    hyp = jnp.asarray(ds.gt_depths)[:, None]      # [N,1,H,W,1]
+    scales = (1.0, 0.95, 1.05, 0.9, 1.1)[:max(1, n_hyp)]
+    hyp = jnp.stack([jnp.asarray(ds.gt_depths) * s for s in scales],
+                    axis=1)                       # [N,n_hyp,H,W,1]
     sc_mask = jnp.asarray(ds.gt_valid_depths.astype(np.float32))
     i_train_j = jnp.asarray(ds.i_train)
 
@@ -305,6 +321,7 @@ def run_depth(iters, tiny, use_occ=False, slab=True, occ_floor=0.03, eval_every=
         tag += "-sparse"
     if use_occ and occ_threshold != 1e-2:
         tag += f"-thr{occ_threshold:g}"
+    tag += tag_suffix
     carry = ((state, og.init_grid([-2.0] * 3, [2.0] * 3, occ_cfg))
              if use_occ else state)
     key = jax.random.key(2)
@@ -325,10 +342,13 @@ def run_depth(iters, tiny, use_occ=False, slab=True, occ_floor=0.03, eval_every=
                 if "occ_ray_frac" in metrics:
                     ev["occ_ray_frac"] = round(
                         float(metrics["occ_ray_frac"]), 4)
-            emit({"run": tag, "iter": done,
-                  "train_psnr": round(float(metrics["psnr"]), 2),
-                  "sc_loss": round(float(metrics["space_carving_loss"]), 5),
-                  **ev, "elapsed_s": round(time.time() - t0, 1)})
+            row = {"run": tag, "iter": done,
+                   "train_psnr": round(float(metrics["psnr"]), 2),
+                   **ev, "elapsed_s": round(time.time() - t0, 1)}
+            if "space_carving_loss" in metrics:  # absent at sc_weight=0
+                row["sc_loss"] = round(
+                    float(metrics["space_carving_loss"]), 5)
+            emit(row)
     state = carry[0] if use_occ else carry
     occ = (occ_cfg, carry[1]) if use_occ else None
     final = eval_test(state, ds, mcfg, rcfg, n_views=len(ds.i_test),
@@ -341,7 +361,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="all",
                     choices=["constant", "linear", "depth", "occ",
-                             "depth-occ", "all"])
+                             "depth-occ", "all", "depth-ab"])
     ap.add_argument("--iters", type=int, default=8000)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--occ_floor", type=float, default=0.03)
@@ -367,6 +387,17 @@ def main():
     modes = ([args.mode] if args.mode != "all"
              else ["constant", "linear", "depth"])
     for m in modes:
+        if m == "depth-ab":
+            # VERDICT r3 item 2: depth-supervised vs photometric-only vs
+            # is_joint at identical compute (same recipe/samples/iters)
+            for suffix, kw in (
+                    ("-ab-photo", dict(sc_weight=0.0)),
+                    ("-ab-sc", dict(sc_weight=0.007)),
+                    ("-ab-scjoint", dict(sc_weight=0.007, is_joint=True))):
+                run_depth(args.iters, args.tiny, slab=slab,
+                          eval_every=args.eval_every, tag_suffix=suffix,
+                          n_hyp=3, **kw)
+            continue
         if m in ("depth", "depth-occ"):
             run_depth(args.iters, args.tiny, use_occ=m == "depth-occ",
                       slab=slab, occ_floor=args.occ_floor,

@@ -22,7 +22,7 @@ DISPATCHES = 5
 
 
 def run_variant(label, rays, remat=False, accum=1, rounds=3,
-                mode="linear", ns=128, ni=64):
+                mode="linear", ns=128, ni=64, pallas=False, fold=False):
     import jax
     import jax.numpy as jnp
 
@@ -31,7 +31,8 @@ def run_variant(label, rays, remat=False, accum=1, rounds=3,
 
     rcfg = RenderConfig(n_samples=ns, n_importance=ni, mode=mode,
                         white_bkgd=True, perturb=True,
-                        mlp_dtype="bfloat16", remat_mlp=remat)
+                        mlp_dtype="bfloat16", remat_mlp=remat,
+                        use_pallas_mlp=pallas, pallas_fold_heads=fold)
     setup = train_step.TrainSetup(mcfg=ModelConfig(), rcfg=rcfg,
                                   accum_chunks=accum)
     state = train_step.init_state(jax.random.key(0), setup)
@@ -91,6 +92,14 @@ def main():
         run_variant("accum4 8192", 8192, accum=4, rounds=args.rounds)
     if "16k" in v:
         run_variant("accum2 16384", 16384, accum=2, rounds=args.rounds)
+    # in-step Pallas A/B at the round-2/3 measurement point (accum2):
+    # XLA base vs split-schedule kernel vs minimal-pass folded kernel
+    if "pallas" in v:
+        run_variant("pallas accum2 8192", 8192, accum=2,
+                    rounds=args.rounds, pallas=True)
+    if "pallasfold" in v:
+        run_variant("pallasfold accum2 8192", 8192, accum=2,
+                    rounds=args.rounds, pallas=True, fold=True)
 
 
 if __name__ == "__main__":
