@@ -68,25 +68,32 @@ class ServingRenderer:
         chunks overlap host packing and, multi-device, run
         concurrently.  Per-chunk rng (seed + chunk index) is placement-
         independent — the same rays give the same image on 1 or N
-        devices."""
-        rays = np.asarray(rays, np.float32)
+        devices.
+
+        Accepts numpy or jax arrays; device arrays stay resident (the
+        round-3 runtime forced ``np.asarray`` here, paying a D2H+H2D
+        round trip on rays already computed on device by
+        ``render_image`` — see BASELINE.md serving-profile)."""
+        if not isinstance(rays, jax.Array):
+            rays = np.asarray(rays, np.float32)
         if rays.ndim != 2 or rays.shape[1] != self.ray_dim:
             raise ValueError(
                 f"expected rays [n, {self.ray_dim}], got {rays.shape}")
         n = rays.shape[0]
+        rays = jnp.asarray(rays, jnp.float32)
         pad = (-n) % self.chunk
         if pad:
-            rays = np.concatenate(
-                [rays, np.broadcast_to(rays[-1:], (pad, self.ray_dim))], 0)
+            rays = jnp.concatenate(
+                [rays, jnp.broadcast_to(rays[-1:], (pad, self.ray_dim))], 0)
         if (self._fused_call is not None and not self.devices
                 and rays.shape[0] == self.fused_n_rays):
             # single-dispatch whole-batch module (the eval frontend's
             # exact program, incl. its split-per-chunk key semantics)
-            out = self._fused_call(jnp.asarray(rays), jnp.uint32(seed))
+            out = self._fused_call(rays, jnp.uint32(seed))
             return {k: np.asarray(v)[:n] for k, v in out.items()}
         outs = []
         for i in range(rays.shape[0] // self.chunk):
-            cb = jnp.asarray(rays[i * self.chunk:(i + 1) * self.chunk])
+            cb = rays[i * self.chunk:(i + 1) * self.chunk]
             sd = jnp.uint32(np.uint32(seed) + np.uint32(i))
             if self.devices:
                 dev = self.devices[i % len(self.devices)]
@@ -108,5 +115,5 @@ class ServingRenderer:
         packed, _ = render.make_ray_batch(
             rays_o, rays_d, near, far, self.manifest["use_viewdirs"],
             ndc, H, W, focal)
-        out = self.render_rays(np.asarray(packed), seed=seed)
+        out = self.render_rays(packed, seed=seed)
         return {k: v.reshape(H, W, *v.shape[1:]) for k, v in out.items()}

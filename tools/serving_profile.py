@@ -12,10 +12,18 @@ goes.  Both run the same lax.map-over-chunks program
      -> measured by exporting a TPU-only artifact alongside;
   b) weights-as-constants vs weights-as-arguments — the artifact embeds
      the params as StableHLO constants; the in-process path passes them
-     as jit arguments (layout/fusion freedom differs);
+     as jit arguments (layout/fusion freedom differs)
+     -> measured by the "fused-args" arm: the same fused program
+     exported with the param pytrees as call ARGUMENTS, weights staged
+     to device once;
   c) host-side costs — padding/staging the [n,11] ray array, the
      exported call's argument checks, D2H of the 6 output maps
-     -> measured as wall time minus device-busy time (xplane).
+     -> measured as wall time minus device-busy time (xplane);
+  d) the round-3 runtime's ray ROUND TRIP — render_image computed rays
+     on device, pulled them to numpy, and re-uploaded (~2x28 MB at
+     800^2).  The runtime now keeps device arrays resident; the
+     "fused-native-hostrays" arm re-creates the old behavior to price
+     it.
 
 Method: time in-process vs fused-multiplatform vs fused-tpu-only
 (value-fetch closed, best of --rounds), then jax.profiler-trace one call
@@ -66,6 +74,7 @@ def main():
 
     import numpy as np
     import jax
+    import jax.numpy as jnp
 
     from plnerf.core.config import ModelConfig, RenderConfig
     from plnerf.core.mlp import init_nerf_params
@@ -108,6 +117,63 @@ def main():
         arms[f"fused-{name}"] = (
             lambda s=server: float(
                 s.render_image(c2w, (H, W, focal), K)["rgb_map"].sum()))
+
+    if "native" in servers:
+        # hypothesis (d): the round-3 runtime's D2H+H2D ray round trip,
+        # re-created by forcing the packed rays through numpy
+        from plnerf.core import rays as raysmod
+        from plnerf.core import render as rendermod
+
+        def hostrays(s=servers["native"]):
+            ro, rd = raysmod.get_rays(H, W, K, jnp.asarray(c2w)[:3, :4])
+            packed, _ = rendermod.make_ray_batch(
+                ro, rd, 2.0, 6.0, rcfg.use_viewdirs, False, H, W, focal)
+            out = s.render_rays(np.asarray(packed))  # force host copy
+            return float(out["rgb_map"][:n_rays].sum())
+
+        arms["fused-native-hostrays"] = hostrays
+
+    # hypothesis (b): same fused program exported with the params as
+    # call ARGUMENTS (staged to device once) instead of baked constants
+    try:
+        from plnerf.core import rays as raysmod
+        from plnerf.core import render as rendermod
+        from plnerf.eval.images import _render_flat_local
+
+        rdim = SE.ray_dim(rcfg)
+        fused_total = -(-n_rays // args.chunk) * args.chunk
+
+        def arg_fn(pc_, pf_, rays, seed):
+            key = jax.random.PRNGKey(seed)
+            return _render_flat_local(pc_, pf_, rays, key, mcfg, rcfg,
+                                      args.chunk, keep_hyp=False)
+
+        struct = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), t)
+        exp_args = jax.export.export(jax.jit(arg_fn), platforms=[backend])(
+            struct(pc), struct(pf),
+            jax.ShapeDtypeStruct((fused_total, rdim), jnp.float32),
+            jax.ShapeDtypeStruct((), jnp.uint32))
+        args_call = jax.jit(exp_args.call)
+        pc_dev = jax.device_put(pc)
+        pf_dev = jax.device_put(pf)
+
+        def argscall():
+            ro, rd = raysmod.get_rays(H, W, K, jnp.asarray(c2w)[:3, :4])
+            packed, _ = rendermod.make_ray_batch(
+                ro, rd, 2.0, 6.0, rcfg.use_viewdirs, False, H, W, focal)
+            pad = fused_total - packed.shape[0]
+            if pad:
+                packed = jnp.concatenate(
+                    [packed, jnp.broadcast_to(packed[-1:], (pad, rdim))], 0)
+            out = args_call(pc_dev, pf_dev, packed, jnp.uint32(0))
+            return float(np.asarray(out["rgb_map"])[:n_rays].sum())
+
+        arms["fused-args"] = argscall
+    except Exception as e:
+        print(f"[serve-profile] fused-args export failed: {e}",
+              file=sys.stderr, flush=True)
+
     arms["inprocess"] = lambda: float(np.asarray(
         EI.render_image(pc, pf, c2w, (H, W, focal), K, mcfg, rcfg,
                         jax.random.PRNGKey(3),
