@@ -251,7 +251,7 @@ def run_nvs(mode, iters, tiny, slab=True, occ_floor=0.03,
 
 def run_depth(iters, tiny, use_occ=False, slab=True, occ_floor=0.03, eval_every=1000,
               occ_threshold=1e-2, sc_weight=0.007, is_joint=False,
-              tag_suffix="", n_hyp=1):
+              tag_suffix="", n_hyp=1, seed=0):
     """Depth-supervised convergence; ``use_occ`` runs the same recipe with
     occupancy-grid guided coarse sampling (32 guided + 64, grid engaged
     from the start — the depth driver's own warmup is exercised by the
@@ -302,7 +302,7 @@ def run_depth(iters, tiny, use_occ=False, slab=True, occ_floor=0.03, eval_every=
         is_joint=is_joint,
         scaleshift_lr=1e-6, freeze_ss=0,
         start_decay_lrate=400000, end_decay_lrate=500000)
-    state = train_step.init_state(jax.random.key(0), setup,
+    state = train_step.init_state(jax.random.key(seed), setup,
                                   n_images=ds.images.shape[0])
 
     n_inner = 100
@@ -322,9 +322,11 @@ def run_depth(iters, tiny, use_occ=False, slab=True, occ_floor=0.03, eval_every=
     if use_occ and occ_threshold != 1e-2:
         tag += f"-thr{occ_threshold:g}"
     tag += tag_suffix
+    if seed:
+        tag += f"-seed{seed}"
     carry = ((state, og.init_grid([-2.0] * 3, [2.0] * 3, occ_cfg))
              if use_occ else state)
-    key = jax.random.key(2)
+    key = jax.random.key(2 + 1000 * seed)  # seed moves data order too
     done = 0
     t0 = time.time()
     while done < iters:
@@ -363,6 +365,9 @@ def main():
                     choices=["constant", "linear", "depth", "occ",
                              "depth-occ", "all", "depth-ab"])
     ap.add_argument("--iters", type=int, default=8000)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="replicate seed (depth modes): moves init AND "
+                         "data order; tags rows with -seedN when nonzero")
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--occ_floor", type=float, default=0.03)
     ap.add_argument("--occ_threshold", type=float, default=1e-2)
@@ -396,7 +401,7 @@ def main():
                     ("-ab-scjoint", dict(sc_weight=0.007, is_joint=True))):
                 run_depth(args.iters, args.tiny, slab=slab,
                           eval_every=args.eval_every, tag_suffix=suffix,
-                          n_hyp=3, **kw)
+                          n_hyp=3, seed=args.seed, **kw)
             continue
         if m in ("depth", "depth-occ"):
             run_depth(args.iters, args.tiny, use_occ=m == "depth-occ",
