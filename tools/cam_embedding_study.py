@@ -56,7 +56,7 @@ def jitter_images(ds, lo=0.6, hi=1.25):
     return images.astype(np.float32), gains
 
 
-def run_arm(arm, iters, tiny, jitter, opt_emb, seed=0):
+def run_arm(arm, iters, tiny, jitter, opt_emb, seed=0, test_opt=False):
     import jax
     import jax.numpy as jnp
 
@@ -132,6 +132,33 @@ def run_arm(arm, iters, tiny, jitter, opt_emb, seed=0):
                                            .mean()), 4)
     emit(rec)
 
+    if opt_emb and test_opt:
+        # Close the loop with the reference's test_opt protocol
+        # (run_nerf_sample_based_depth.py:311-347, via
+        # train/camera_opt.py): the zero embedding does NOT map to the
+        # clean gain, so held-out PSNR stays depressed even when
+        # geometry/structure recover (round-4 full-scale finding) —
+        # optimize a per-test-view embedding photometrically against
+        # the clean test image, then re-evaluate with it.
+        from plnerf.train.camera_opt import optimize_camera_embedding
+
+        t1 = time.time()
+        embs = {}
+        for ti in np.asarray(ds.i_test):
+            embs[int(ti)] = optimize_camera_embedding(
+                state.params_coarse, state.params_fine,
+                np.asarray(ds.images[ti]), ds.poses[ti],
+                ds.intrinsics[ti], mcfg, rcfg, ds.near, ds.far,
+                n_rand=n_rand, epochs=20 if tiny else 50, seed=5)
+        final2 = eval_test(state, ds, mcfg, rcfg,
+                           n_views=len(ds.i_test), seed=999,
+                           pixel_center=True, cam_embeddings=embs)
+        emit({"run": tag + "-testopt", "iter": done, "final": True,
+              **final2,
+              "emb_norm_mean": round(float(np.mean(
+                  [np.linalg.norm(e) for e in embs.values()])), 4),
+              "elapsed_s": round(time.time() - t1, 1)})
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -140,11 +167,16 @@ def main():
     ap.add_argument("--arm", default="all",
                     choices=["all", "clean-control", "jitter-zero",
                              "jitter-opt"])
+    ap.add_argument("--test_opt", action="store_true",
+                    help="after the jitter-opt arm, run the reference's "
+                         "test_opt protocol (per-test-view embedding fit) "
+                         "and emit a -testopt final row")
     args = ap.parse_args()
     arms = {
         "clean-control": dict(jitter=False, opt_emb=False),
         "jitter-zero": dict(jitter=True, opt_emb=False),
-        "jitter-opt": dict(jitter=True, opt_emb=True),
+        "jitter-opt": dict(jitter=True, opt_emb=True,
+                           test_opt=args.test_opt),
     }
     for arm, kw in arms.items():
         if args.arm not in ("all", arm):

@@ -70,16 +70,21 @@ def build_dataset(tiny, slab=True):
 
 
 def eval_test(state, ds, mcfg, rcfg, n_views, seed, pixel_center=False,
-              chunk=8192, occ=None):
+              chunk=8192, occ=None, cam_embeddings=None):
     from plnerf.eval import images as EI
 
+    # eval always renders through the production XLA path — the Pallas
+    # kernel is a train-step-only win (BASELINE.md round-3 eval verdict),
+    # and stripping it here keeps the pallas-fold A/B train-path-pure
+    rcfg = dataclasses.replace(rcfg, use_pallas_mlp=False,
+                               pallas_fold_heads=False)
     occ_cfg, occ_grid = occ if occ is not None else (None, None)
     mm, _ = EI.render_images_with_metrics(
         state.params_coarse, state.params_fine, ds,
         list(ds.i_test[:n_views]), mcfg,
         EI.test_render_config(rcfg, occ=occ_cfg),
         chunk=chunk, verbose=False, seed=seed, pixel_center=pixel_center,
-        occ_grid=occ_grid)
+        occ_grid=occ_grid, cam_embeddings=cam_embeddings)
     out = {"psnr": round(float(mm.get("psnr")), 2),
            "ssim": round(float(mm.get("ssim")), 4)}
     if mm.has("depth_rmse"):
@@ -88,7 +93,8 @@ def eval_test(state, ds, mcfg, rcfg, n_views, seed, pixel_center=False,
 
 
 def run_nvs(mode, iters, tiny, slab=True, occ_floor=0.03,
-            lrate_decay=250, eval_every=1000, ckpt_dir="", ckpt_every=10000):
+            lrate_decay=250, eval_every=1000, ckpt_dir="", ckpt_every=10000,
+            pallas_fold=False):
     """mode: constant | linear | occ (linear recipe with occupancy-grid
     guided coarse sampling, 32 guided + 64 importance — the quality half
     of the occ-grid >=2x claim; throughput half lives in bench.py).
@@ -128,7 +134,15 @@ def run_nvs(mode, iters, tiny, slab=True, occ_floor=0.03,
         if use_occ else None
     rcfg = RenderConfig(n_samples=ns, n_importance=ni, mode=qmode,
                         white_bkgd=True, perturb=True,
-                        mlp_dtype="bfloat16")
+                        mlp_dtype="bfloat16",
+                        # TRAIN-path kernel A/B (round 4): folded-head
+                        # Pallas MLP vs XLA, same recipe/seeds; eval
+                        # below strips it (test_render_config keeps
+                        # eval on XLA only if we drop it here too)
+                        use_pallas_mlp=pallas_fold,
+                        pallas_fold_heads=pallas_fold)
+    if pallas_fold:
+        tag += "-pallasfold"
     # the reference's exponential profile: 0.1x every decay*1000 steps
     # (run_plnerf.py:1307-1315); 250 is the TrainSetup default and what
     # every round-2 curve used
@@ -365,6 +379,10 @@ def main():
                     choices=["constant", "linear", "depth", "occ",
                              "depth-occ", "all", "depth-ab"])
     ap.add_argument("--iters", type=int, default=8000)
+    ap.add_argument("--pallas_fold", action="store_true",
+                    help="NVS modes: train through the folded-head "
+                         "Pallas MLP kernel (eval stays XLA) — the "
+                         "round-4 train-path kernel quality A/B")
     ap.add_argument("--seed", type=int, default=0,
                     help="replicate seed (depth modes): moves init AND "
                          "data order; tags rows with -seedN when nonzero")
@@ -413,7 +431,8 @@ def main():
                     occ_floor=args.occ_floor,
                     lrate_decay=args.lrate_decay,
                     eval_every=args.eval_every,
-                    ckpt_dir=args.ckpt_dir, ckpt_every=args.ckpt_every)
+                    ckpt_dir=args.ckpt_dir, ckpt_every=args.ckpt_every,
+                    pallas_fold=args.pallas_fold)
 
 
 if __name__ == "__main__":
