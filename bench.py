@@ -158,10 +158,16 @@ def _bench_train(mode, n_samples, n_importance, n_rounds, occ=False):
         from plnerf.core import occgrid as og
 
         occ_cfg = og.OccGridConfig(resolution=128, candidates=96)
+    # production train-path default (round 4): the folded-head Pallas
+    # kernel on TPU — measured 139.7 vs 148.8 ms/step vs XLA at the
+    # 8192-ray accum-2 point (tools/time_variants.py), quality parity
+    # in the 8k convergence A/B (linear-sparse-pallasfold)
+    pallas_on = jax.default_backend() in ("tpu", "axon")
     rcfg = RenderConfig(
         n_samples=n_samples, n_importance=n_importance, mode=mode,
         color_mode="midpoint", white_bkgd=True, perturb=True,
         raw_noise_std=0.0, mlp_dtype="bfloat16", occ=occ_cfg,
+        use_pallas_mlp=pallas_on, pallas_fold_heads=pallas_on,
     )
     # Flagship runs with grad accumulation over 2 ray chunks: identical
     # recipe and update (mean of chunk means; equality-tested in

@@ -62,7 +62,8 @@ class ConfigArgumentParser(argparse.ArgumentParser):
                 if action.dest in file_vals:
                     raw = file_vals[action.dest]
                     if isinstance(action, (argparse._StoreTrueAction,
-                                           argparse._StoreFalseAction)):
+                                           argparse._StoreFalseAction,
+                                           argparse.BooleanOptionalAction)):
                         defaults[action.dest] = raw.lower() in (
                             "true", "1", "yes")
                     elif action.nargs not in (None, "?"):
@@ -166,8 +167,14 @@ def add_base_flags(parser: ConfigArgumentParser) -> None:
       help="torch state-dict with AlexNet+lin weights for LPIPS eval")
     a("--mlp_dtype", type=str, default="float32",
       help="float32 | bfloat16 matmul dtype for the NeRF MLP")
-    a("--use_pallas", action="store_true",
-      help="use the fused Pallas MLP kernel on TPU")
+    a("--use_pallas", action=argparse.BooleanOptionalAction, default=None,
+      help="fused Pallas MLP kernel for the TRAIN step.  Default (unset) "
+           "is AUTO: on for TPU + --mlp_dtype bfloat16 + viewdir "
+           "topology, where the folded-head schedule measures ~6% "
+           "faster than XLA in-step (BASELINE.md round 4); eval/serving "
+           "stay on the XLA path (measured faster there).  "
+           "--use_pallas forces it everywhere incl. eval; "
+           "--no-use_pallas forces the XLA path")
     a("--steps_per_dispatch", type=int, default=1,
       help="fuse N optimization steps into one device dispatch "
            "(lax.scan); logging/ckpt cadences round to multiples of N")

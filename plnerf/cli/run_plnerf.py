@@ -43,6 +43,22 @@ from .config import config_parser, resolve_args
 from .datasets import DatasetBundle, load_dataset
 
 
+def _resolve_pallas(args) -> bool:
+    """--use_pallas tri-state: True/False honor the explicit flag; None
+    (AUTO, the default) enables the folded-head Pallas kernel for the
+    train step when it is a measured win — TPU backend, bf16 matmuls,
+    viewdir topology (BASELINE.md round-4 in-step A/B: 139.7 vs 148.8
+    ms/step).  Eval and serving strip it again in eval_render_config
+    unless the user forced --use_pallas (the kernel measures ~36%
+    SLOWER than XLA at inference, round-3 eval verdict)."""
+    explicit = getattr(args, "use_pallas", None)
+    if explicit is not None:
+        return bool(explicit)
+    return (jax.default_backend() in ("tpu", "axon")
+            and getattr(args, "mlp_dtype", "float32") == "bfloat16"
+            and bool(getattr(args, "use_viewdirs", False)))
+
+
 def build_configs(args, vanilla: bool = False):
     mcfg = ModelConfig(
         netdepth=args.netdepth, netwidth=args.netwidth,
@@ -65,7 +81,8 @@ def build_configs(args, vanilla: bool = False):
         white_bkgd=args.white_bkgd, raw_noise_std=args.raw_noise_std,
         zero_tol=args.zero_tol, epsilon=args.epsilon,
         mlp_dtype=getattr(args, "mlp_dtype", "float32"),
-        use_pallas_mlp=getattr(args, "use_pallas", False),
+        use_pallas_mlp=_resolve_pallas(args),
+        pallas_fold_heads=_resolve_pallas(args),
         remat_mlp=getattr(args, "remat", False),
     )
     setup = TrainSetup(
@@ -616,7 +633,8 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
             out = EI.render_image(
                 state.params_coarse, state.params_fine, data.poses[vi],
                 data.hwf, K, mcfg,
-                EI.test_render_config(rcfg, occ=occ_cfg),
+                EI.test_render_config(rcfg, occ=occ_cfg,
+                                      **_eval_pallas_overrides(args)),
                 near=bundle.near, far=bundle.far, chunk=args.chunk,
                 ndc=bundle.ndc, mesh=mesh, occ_grid=occ_state,
             )
@@ -662,11 +680,21 @@ def eval_render_config(args, rcfg, occ_cfg=None):
     this framework's --eval_det override.  The override MUST be applied
     here, after the quirk: mutating args.perturb upstream is clobbered
     by test_render_config's unconditional perturb=True (bug caught by
-    test_serving's baked-manifest assert)."""
-    ov = {"occ": occ_cfg}
+    test_serving's baked-manifest assert).  The auto-enabled Pallas
+    train kernel is stripped here too — it is a train-step-only win
+    (round-3 eval verdict) and a serving artifact must lower through
+    plain XLA for every export platform — unless the user explicitly
+    forced --use_pallas."""
+    ov = {"occ": occ_cfg, **_eval_pallas_overrides(args)}
     if getattr(args, "eval_det", False):
         ov["perturb"] = False
     return EI.test_render_config(rcfg, **ov)
+
+
+def _eval_pallas_overrides(args):
+    if getattr(args, "use_pallas", None):  # explicit --use_pallas only
+        return {}
+    return {"use_pallas_mlp": False, "pallas_fold_heads": False}
 
 
 def run_test(args, bundle, mcfg, rcfg, state=None, mesh=None,

@@ -528,3 +528,38 @@ def test_eval_det_survives_the_test_perturb_quirk():
     quirk2 = eval_render_config(argparse.Namespace(eval_det=False),
                                 RenderConfig(perturb=False))
     assert quirk2.perturb is True
+
+
+def test_use_pallas_tristate_resolution():
+    """Round-4 promotion: --use_pallas default (None) is AUTO — folded
+    Pallas kernel for the TRAIN step on TPU+bf16+viewdirs, XLA
+    elsewhere; explicit flags win both ways; eval_render_config strips
+    the kernel unless the user forced --use_pallas (it is a measured
+    eval-side LOSS, BASELINE.md round-3 verdict)."""
+    import argparse
+
+    from plnerf.cli.run_plnerf import build_configs, eval_render_config
+    from plnerf.core.config import RenderConfig
+
+    # AUTO on the CPU test backend -> off even at bf16
+    args = config_parser().parse_args(
+        ["--use_viewdirs", "--mlp_dtype", "bfloat16"])
+    assert args.use_pallas is None
+    _, rcfg, _ = build_configs(args)
+    assert rcfg.use_pallas_mlp is False
+    # explicit --use_pallas wins over backend, and rides into eval
+    args = config_parser().parse_args(["--use_viewdirs", "--use_pallas"])
+    _, rcfg, _ = build_configs(args)
+    assert rcfg.use_pallas_mlp is True and rcfg.pallas_fold_heads is True
+    ev = eval_render_config(args, rcfg)
+    assert ev.use_pallas_mlp is True
+    # explicit --no-use_pallas forces off
+    args = config_parser().parse_args(
+        ["--use_viewdirs", "--mlp_dtype", "bfloat16", "--no-use_pallas"])
+    _, rcfg, _ = build_configs(args)
+    assert rcfg.use_pallas_mlp is False
+    # AUTO (or off): eval strips the kernel even if the train rcfg has it
+    ev = eval_render_config(
+        argparse.Namespace(eval_det=False, use_pallas=None),
+        RenderConfig(use_pallas_mlp=True, pallas_fold_heads=True))
+    assert ev.use_pallas_mlp is False and ev.pallas_fold_heads is False
