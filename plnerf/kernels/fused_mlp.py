@@ -35,9 +35,11 @@ first, they changed the story twice:
   in-step 3-D form ([rays, samples, ch]), which is what the production
   step uses.
 * In the REAL training step (3-D XLA form, grad-accum 2, 8192 rays):
-  Pallas 146.1 vs XLA 144.7 ms/step — parity (round 1 was 6% behind).
-  XLA keeps a ~1% edge end-to-end, so the kernel stays OPT-IN
-  (``RenderConfig.use_pallas_mlp`` / ``--use_pallas``).
+  split schedule 146.1 vs XLA 144.7-148.8 ms/step — parity.  Round 4's
+  ``fold_heads`` schedule (below) reaches **139.7 ms/step, 6.1% faster
+  than XLA**, and is the DEFAULT train path on TPU+bf16+viewdirs
+  (``--use_pallas`` tri-state, cli/run_plnerf._resolve_pallas); eval
+  stays XLA (measured ~36% slower at inference, round-3 verdict).
 * Round-3 DECOMPOSITION of the forward's 64-vs-45 ms residual
   (tools/dot_decompose.py; full table in BASELINE.md): measuring each
   of the kernel's five distinct dot shapes alone on resident weights
