@@ -184,6 +184,13 @@ def add_base_flags(parser: ConfigArgumentParser) -> None:
     a("--serve_out", type=str, default=None,
       help="export_serving task: artifact output dir (default "
            "<exp_dir>/serving)")
+    a("--serve_weights", type=str, default="baked",
+      choices=["baked", "args"],
+      help="export_serving: embed weights as StableHLO constants "
+           "(baked, self-contained) or ship them as a weights.npz "
+           "sidecar passed as call arguments (args — staged once at "
+           "load, measured 1.18x in-process throughput vs 1.02x baked, "
+           "BASELINE.md round-4 serving decomposition)")
     a("--serve_platforms", type=str, default=None,
       help="export_serving task: comma list of lowering platforms "
            "(default: cpu,tpu with fallback to the current backend)")
@@ -289,6 +296,7 @@ _TEST_OVERRIDES = [
     "ft_path", "no_reload", "no_mesh", "use_pallas", "profile", "debug",
     "occ_eval_fresh_grid", "eval_N_samples", "eval_N_importance",
     "eval_det", "serve_out", "serve_platforms", "serve_image",
+    "serve_weights",
 ]
 
 

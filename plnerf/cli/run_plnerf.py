@@ -743,6 +743,7 @@ def run_export_serving(args, mcfg, rcfg, setup):
         chunk=args.chunk, mcfg_fine=setup.mcfg_fine, occ_grid=occ_grid,
         platforms=platforms.split(",") if platforms else None,
         fused_n_rays=fused_n,
+        weights_mode=getattr(args, "serve_weights", "baked"),
         provenance={"expname": args.expname, "step": int(state.step),
                     "mode": args.mode, "N_samples": args.N_samples,
                     "N_importance": args.N_importance,

@@ -46,6 +46,7 @@ from ..core.config import ModelConfig, RenderConfig
 MODULE_FILE = "module.bin"
 MODULE_FUSED_FILE = "module_fused.bin"
 MANIFEST_FILE = "manifest.json"
+WEIGHTS_FILE = "weights.npz"
 FORMAT_VERSION = 1
 
 
@@ -121,6 +122,7 @@ def export_renderer(params_c, params_f, mcfg: ModelConfig,
                     occ_grid=None,
                     platforms: Optional[Sequence[str]] = None,
                     fused_n_rays: Optional[int] = None,
+                    weights_mode: str = "baked",
                     provenance: Optional[dict] = None) -> dict:
     """Serialize the render function + weights into ``out_dir``.
 
@@ -129,29 +131,71 @@ def export_renderer(params_c, params_f, mcfg: ModelConfig,
     lowering rule is unavailable).  ``fused_n_rays``: additionally
     export a single-dispatch whole-batch module for exactly this many
     rays (rounded up to a chunk multiple — pass H*W to serve fixed-size
-    images in one call).  Returns the manifest dict.
+    images in one call).
+
+    ``weights_mode``: ``"baked"`` embeds the weights as StableHLO
+    constants (one self-contained module.bin); ``"args"`` exports the
+    module with the weight leaves as call ARGUMENTS and writes them to
+    ``weights.npz`` in flattened pytree order — the runtime stages them
+    to device once at load and they stay resident, measured **1.18×
+    in-process throughput vs 1.02× for baked** (BASELINE.md round-4
+    serving decomposition: baked constants are re-staged host-side per
+    dispatch by the export calling convention).  Still no model code or
+    checkpoint loader at serve time: the npz is a plain ordered array
+    list, the pytree structure lives inside the traced module.  The occ
+    grid (when present) stays baked in both modes.  Returns the
+    manifest dict.
     """
-    fn = build_chunk_fn(params_c, params_f, mcfg, rcfg, mcfg_fine,
-                        occ_grid)
+    if weights_mode not in ("baked", "args"):
+        raise ValueError(f"weights_mode must be baked|args: {weights_mode}")
     rdim = ray_dim(rcfg)
-    args = (jax.ShapeDtypeStruct((chunk, rdim), jnp.float32),
-            jax.ShapeDtypeStruct((), jnp.uint32))
+    os.makedirs(out_dir, exist_ok=True)
+
+    leaves, treedef = jax.tree.flatten((params_c, params_f))
+    if weights_mode == "args":
+        import numpy as np
+
+        np.savez(os.path.join(out_dir, WEIGHTS_FILE),
+                 *[np.asarray(l) for l in leaves])
+
+        def with_weights(build, *bargs):
+            def fn(wleaves, rays, seed):
+                pc, pf = jax.tree.unflatten(treedef, list(wleaves))
+                return build(pc, pf, *bargs)(rays, seed)
+            return fn
+
+        wstruct = tuple(jax.ShapeDtypeStruct(l.shape, l.dtype)
+                        for l in leaves)
+        fn = with_weights(build_chunk_fn, mcfg, rcfg, mcfg_fine, occ_grid)
+        args = (wstruct,
+                jax.ShapeDtypeStruct((chunk, rdim), jnp.float32),
+                jax.ShapeDtypeStruct((), jnp.uint32))
+    else:
+        fn = build_chunk_fn(params_c, params_f, mcfg, rcfg, mcfg_fine,
+                            occ_grid)
+        args = (jax.ShapeDtypeStruct((chunk, rdim), jnp.float32),
+                jax.ShapeDtypeStruct((), jnp.uint32))
     out_shapes = jax.eval_shape(fn, *args)  # ground truth for the manifest
 
     exported = _export_one(fn, args, platforms)
 
-    os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, MODULE_FILE), "wb") as f:
         f.write(exported.serialize())
 
     fused_total = None
     if fused_n_rays:
         fused_total = -(-int(fused_n_rays) // chunk) * chunk
-        ffn = build_fused_fn(params_c, params_f, mcfg, rcfg, chunk,
-                             mcfg_fine, occ_grid)
-        fexp = _export_one(
-            ffn, (jax.ShapeDtypeStruct((fused_total, rdim), jnp.float32),
-                  jax.ShapeDtypeStruct((), jnp.uint32)), platforms)
+        frays = (jax.ShapeDtypeStruct((fused_total, rdim), jnp.float32),
+                 jax.ShapeDtypeStruct((), jnp.uint32))
+        if weights_mode == "args":
+            ffn = with_weights(build_fused_fn, mcfg, rcfg, chunk,
+                               mcfg_fine, occ_grid)
+            fargs = (wstruct,) + frays
+        else:
+            ffn = build_fused_fn(params_c, params_f, mcfg, rcfg, chunk,
+                                 mcfg_fine, occ_grid)
+            fargs = frays
+        fexp = _export_one(ffn, fargs, platforms)
         with open(os.path.join(out_dir, MODULE_FUSED_FILE), "wb") as f:
             f.write(fexp.serialize())
 
@@ -169,6 +213,8 @@ def export_renderer(params_c, params_f, mcfg: ModelConfig,
         "perturb": rcfg.perturb,
         "occ_grid_embedded": occ_grid is not None,
         "fused_n_rays": fused_total,
+        "weights_mode": weights_mode,
+        "n_weight_leaves": len(leaves) if weights_mode == "args" else 0,
         "provenance": provenance or {},
     }
     with open(os.path.join(out_dir, MANIFEST_FILE), "w") as f:
