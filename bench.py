@@ -159,10 +159,14 @@ def _bench_train(mode, n_samples, n_importance, n_rounds, occ=False):
 
         occ_cfg = og.OccGridConfig(resolution=128, candidates=96)
     # production train-path default (round 4): the folded-head Pallas
-    # kernel on TPU — measured 139.7 vs 148.8 ms/step vs XLA at the
-    # 8192-ray accum-2 point (tools/time_variants.py), quality parity
-    # in the 8k convergence A/B (linear-sparse-pallasfold)
-    pallas_on = jax.default_backend() in ("tpu", "axon")
+    # kernel on TPU for LINEAR-mode recipes — measured 139.7 vs 148.8
+    # ms/step vs XLA at the 8192-ray accum-2 point, quality parity in
+    # the 8k convergence A/B (linear-sparse-pallasfold); occ-guided
+    # linear gains too (122.4k vs 117.3k), but the constant recipe's
+    # 64+128 budget LOSES ~5% with the kernel, so constant stays XLA
+    # (mirrors cli/run_plnerf._resolve_pallas)
+    pallas_on = (jax.default_backend() in ("tpu", "axon")
+                 and mode == "linear")
     rcfg = RenderConfig(
         n_samples=n_samples, n_importance=n_importance, mode=mode,
         color_mode="midpoint", white_bkgd=True, perturb=True,

@@ -56,7 +56,14 @@ def _resolve_pallas(args) -> bool:
         return bool(explicit)
     return (jax.default_backend() in ("tpu", "axon")
             and getattr(args, "mlp_dtype", "float32") == "bfloat16"
-            and bool(getattr(args, "use_viewdirs", False)))
+            and bool(getattr(args, "use_viewdirs", False))
+            # measured win is recipe-shaped: linear (128+64, incl. the
+            # occ-guided variant) gains 3-6%, the constant recipe's
+            # 64+128 budget LOSES ~5% (BENCH r4: 68.1k vs 72.1k) — the
+            # kernel's per-row fixed cost needs the larger coarse pass
+            # to amortize.  Auto stays off for constant; --use_pallas
+            # still forces it.
+            and getattr(args, "mode", "linear") == "linear")
 
 
 def build_configs(args, vanilla: bool = False):

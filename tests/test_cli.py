@@ -563,3 +563,16 @@ def test_use_pallas_tristate_resolution():
         argparse.Namespace(eval_det=False, use_pallas=None),
         RenderConfig(use_pallas_mlp=True, pallas_fold_heads=True))
     assert ev.use_pallas_mlp is False and ev.pallas_fold_heads is False
+    # AUTO is recipe-gated: on a (faked) TPU backend it enables for the
+    # linear recipe only — the constant budget measured a ~5% LOSS with
+    # the kernel (BENCH r4), so constant stays XLA unless forced
+    from plnerf.cli import run_plnerf as RP
+    from unittest import mock
+    with mock.patch.object(RP.jax, "default_backend", lambda: "tpu"):
+        ns = lambda mode: argparse.Namespace(  # noqa: E731
+            use_pallas=None, mlp_dtype="bfloat16", use_viewdirs=True,
+            mode=mode)
+        assert RP._resolve_pallas(ns("linear")) is True
+        assert RP._resolve_pallas(ns("constant")) is False
+        forced = argparse.Namespace(use_pallas=True, mode="constant")
+        assert RP._resolve_pallas(forced) is True

@@ -52,6 +52,12 @@ def main():
     t_export = time.time() - t0
     server = ServingRenderer.load(art)
 
+    art_args = tempfile.mkdtemp(prefix="serve_bench_args_")
+    SE.export_renderer(pc, pf, mcfg, rcfg, art_args, chunk=args.chunk,
+                       fused_n_rays=args.size * args.size,
+                       weights_mode="args")
+    server_args = ServingRenderer.load(art_args)
+
     H = W = args.size
     focal = 0.5 * W / np.tan(0.25)
     K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
@@ -62,6 +68,12 @@ def main():
     def serve_fused():
         out = server.render_image(c2w, (H, W, focal), K)
         return float(out["rgb_map"].sum())        # host values already
+
+    def serve_fused_args():
+        # the SHIPPED --serve_weights args path (weights.npz sidecar
+        # staged once at load; round-4 serving decomposition)
+        out = server_args.render_image(c2w, (H, W, focal), K)
+        return float(out["rgb_map"].sum())
 
     def serve_chunked():
         # bypass the fused module: call the per-chunk path directly
@@ -79,6 +91,7 @@ def main():
 
     rows = []
     for name, fn in (("serving-fused", serve_fused),
+                     ("serving-fused-args", serve_fused_args),
                      ("serving-chunked", serve_chunked),
                      ("inprocess", inproc)):
         fn()  # compile + settle
