@@ -188,9 +188,10 @@ def add_base_flags(parser: ConfigArgumentParser) -> None:
       choices=["baked", "args"],
       help="export_serving: embed weights as StableHLO constants "
            "(baked, self-contained) or ship them as a weights.npz "
-           "sidecar passed as call arguments (args — staged once at "
-           "load, measured 1.18x in-process throughput vs 1.02x baked, "
-           "BASELINE.md round-4 serving decomposition)")
+           "sidecar passed as call arguments (args — throughput-"
+           "neutral, but the module is weight-free so new weights drop "
+           "in without re-lowering; BASELINE.md round-4 serving "
+           "decomposition)")
     a("--serve_platforms", type=str, default=None,
       help="export_serving task: comma list of lowering platforms "
            "(default: cpu,tpu with fallback to the current backend)")

@@ -137,13 +137,13 @@ def export_renderer(params_c, params_f, mcfg: ModelConfig,
     constants (one self-contained module.bin); ``"args"`` exports the
     module with the weight leaves as call ARGUMENTS and writes them to
     ``weights.npz`` in flattened pytree order — the runtime stages them
-    to device once at load and they stay resident, measured **1.18×
-    in-process throughput vs 1.02× for baked** (BASELINE.md round-4
-    serving decomposition: baked constants are re-staged host-side per
-    dispatch by the export calling convention).  Still no model code or
-    checkpoint loader at serve time: the npz is a plain ordered array
-    list, the pytree structure lives inside the traced module.  The occ
-    grid (when present) stays baked in both modes.  Returns the
+    to device once at load.  Throughput-neutral vs baked (BASELINE.md
+    round-4 serving decomposition, `serving-bench` parity rows), but
+    the module becomes weight-free: retrained weights drop into the
+    sidecar without re-lowering/re-shipping the module.  Still no model
+    code or checkpoint loader at serve time: the npz is a plain ordered
+    array list, the pytree structure lives inside the traced module.
+    The occ grid (when present) stays baked in both modes.  Returns the
     manifest dict.
     """
     if weights_mode not in ("baked", "args"):

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, Optional
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
@@ -87,7 +87,9 @@ class ServingRenderer:
         return cls(manifest, exported, devices=devices, fused=fused,
                    weight_leaves=weight_leaves)
 
-    def render_rays(self, rays, seed: int = 0) -> Dict[str, np.ndarray]:
+    def render_rays(self, rays, seed: int = 0,
+                    keys: Optional[Sequence[str]] = None
+                    ) -> Dict[str, np.ndarray]:
         """rays: [n, ray_dim] packed like core.render.make_ray_batch
         (origin, dir, near, far[, viewdir]).  Any n >= 1.
 
@@ -97,6 +99,12 @@ class ServingRenderer:
         concurrently.  Per-chunk rng (seed + chunk index) is placement-
         independent — the same rays give the same image on 1 or N
         devices.
+
+        ``keys``: fetch only these output maps (default: all).  The
+        device program always computes every output, but D2H through
+        the relay is the dominant host cost at image scale — fetching
+        rgb_map alone measures 3.38 vs 4.06 s/img at 800²
+        (BASELINE.md round-4 serving decomposition, fetch-volume probe).
 
         Accepts numpy or jax arrays; device arrays stay resident (the
         round-3 runtime forced ``np.asarray`` here, paying a D2H+H2D
@@ -113,12 +121,14 @@ class ServingRenderer:
         if pad:
             rays = jnp.concatenate(
                 [rays, jnp.broadcast_to(rays[-1:], (pad, self.ray_dim))], 0)
+        want = (None if keys is None else set(keys))
         if (self._fused_call is not None and not self.devices
                 and rays.shape[0] == self.fused_n_rays):
             # single-dispatch whole-batch module (the eval frontend's
             # exact program, incl. its split-per-chunk key semantics)
             out = self._fused_call(rays, jnp.uint32(seed))
-            return {k: np.asarray(v)[:n] for k, v in out.items()}
+            return {k: np.asarray(v)[:n] for k, v in out.items()
+                    if want is None or k in want}
         outs = []
         for i in range(rays.shape[0] // self.chunk):
             cb = rays[i * self.chunk:(i + 1) * self.chunk]
@@ -127,21 +137,26 @@ class ServingRenderer:
                 dev = self.devices[i % len(self.devices)]
                 cb = jax.device_put(cb, dev)
                 sd = jax.device_put(sd, dev)
-            outs.append(self._call(cb, sd))
+            ret = self._call(cb, sd)
+            outs.append(ret if want is None
+                        else {k: v for k, v in ret.items() if k in want})
         out = jax.tree.map(lambda *xs: np.concatenate(
             [np.asarray(x) for x in xs], 0), *outs)
         return {k: v[:n] for k, v in out.items()}
 
     def render_image(self, c2w, hwf, K, near: float = 2.0,
                      far: float = 6.0, ndc: bool = False,
-                     seed: int = 0) -> Dict[str, np.ndarray]:
+                     seed: int = 0,
+                     keys: Optional[Sequence[str]] = None
+                     ) -> Dict[str, np.ndarray]:
         """Render one full image from camera geometry (same packing as
-        eval/images.render_image; H/W/focal from ``hwf``)."""
+        eval/images.render_image; H/W/focal from ``hwf``).  ``keys``:
+        fetch only these maps — see render_rays."""
         H, W, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
         c2w = jnp.asarray(c2w)[:3, :4]
         rays_o, rays_d = raysmod.get_rays(H, W, np.asarray(K), c2w)
         packed, _ = render.make_ray_batch(
             rays_o, rays_d, near, far, self.manifest["use_viewdirs"],
             ndc, H, W, focal)
-        out = self.render_rays(packed, seed=seed)
+        out = self.render_rays(packed, seed=seed, keys=keys)
         return {k: v.reshape(H, W, *v.shape[1:]) for k, v in out.items()}

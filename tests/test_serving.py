@@ -282,3 +282,36 @@ def test_weights_as_args_export_matches_baked(tmp_path):
     out1 = srv.render_rays(_rays(64 * 8 + 17), seed=5)
     for k in out1:
         np.testing.assert_array_equal(out1[k], outn[k])
+
+
+def test_output_key_selection(tmp_path):
+    """keys=: fetch only the requested maps (D2H is the dominant host
+    cost at image scale — rgb-only measured +20% images/s at 800² on
+    TPU, BASELINE.md round-4 fetch-volume probe).  Values must equal
+    the full fetch on both the chunked and fused paths."""
+    pc, pf = _params()
+    rcfg = RenderConfig(n_samples=16, n_importance=8, mode="linear",
+                        white_bkgd=True, perturb=True)
+    H = W = 16
+    SE.export_renderer(pc, pf, MCFG, rcfg, str(tmp_path), chunk=64,
+                       fused_n_rays=H * W)
+    r = ServingRenderer.load(str(tmp_path))
+
+    rays = _rays(150)  # chunked path (not the fused count)
+    full = r.render_rays(rays, seed=3)
+    rgb = r.render_rays(rays, seed=3, keys=["rgb_map"])
+    assert set(rgb) == {"rgb_map"}
+    np.testing.assert_array_equal(rgb["rgb_map"], full["rgb_map"])
+
+    focal = 20.0
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                 np.float32)
+    c2w = np.eye(4, dtype=np.float32)[:3]
+    c2w[2, 3] = 4.0
+    img_full = r.render_image(c2w, (H, W, focal), K, seed=0)
+    img_sel = r.render_image(c2w, (H, W, focal), K, seed=0,
+                             keys=["rgb_map", "depth_map"])
+    assert set(img_sel) == {"rgb_map", "depth_map"}
+    np.testing.assert_array_equal(img_sel["rgb_map"], img_full["rgb_map"])
+    np.testing.assert_array_equal(img_sel["depth_map"],
+                                  img_full["depth_map"])

@@ -71,8 +71,16 @@ def main():
 
     def serve_fused_args():
         # the SHIPPED --serve_weights args path (weights.npz sidecar
-        # staged once at load; round-4 serving decomposition)
+        # staged once at load; round-4 serving decomposition —
+        # throughput-neutral vs baked, module is weight-free)
         out = server_args.render_image(c2w, (H, W, focal), K)
+        return float(out["rgb_map"].sum())
+
+    def serve_fused_rgbonly():
+        # keys= output selection: D2H only the rgb map (the fetch-volume
+        # lever from the round-4 decomposition, ~+20% at 800^2)
+        out = server.render_image(c2w, (H, W, focal), K,
+                                  keys=["rgb_map"])
         return float(out["rgb_map"].sum())
 
     def serve_chunked():
@@ -92,6 +100,7 @@ def main():
     rows = []
     for name, fn in (("serving-fused", serve_fused),
                      ("serving-fused-args", serve_fused_args),
+                     ("serving-fused-rgbonly", serve_fused_rgbonly),
                      ("serving-chunked", serve_chunked),
                      ("inprocess", inproc)):
         fn()  # compile + settle
