@@ -130,6 +130,22 @@ def get_mesh(args):
     return pmesh.make_mesh()
 
 
+def gate_auto_pallas_for_mesh(args, setup: TrainSetup, rcfg: RenderConfig):
+    """AUTO --use_pallas scope is single-device only.  GSPMD partitioning
+    of the Mosaic custom call under the dp batch constraint is unvalidated
+    on real multi-chip hardware (the virtual-mesh dryrun only exercises
+    interpret-mode emulation, which lowers to plain HLO), so under a mesh
+    the AUTO default falls back to XLA; an explicit --use_pallas still
+    forces the kernel for users who can validate it on their pod."""
+    if rcfg.use_pallas_mlp and getattr(args, "use_pallas", None) is None:
+        rcfg = dataclasses.replace(rcfg, use_pallas_mlp=False,
+                                   pallas_fold_heads=False)
+        setup = dataclasses.replace(setup, rcfg=rcfg)
+        print("NOTE: auto Pallas train kernel disabled under a "
+              "multi-chip mesh; pass --use_pallas to force it.")
+    return setup, rcfg
+
+
 def occ_cfg_from_args(args):
     """OccGridConfig from the --occ_* flags, or None (flag-gated TPU perf
     path; no reference equivalent)."""
@@ -411,6 +427,7 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
     mesh = get_mesh(args)
     if mesh is not None:
         state = pmesh.replicate(state, mesh)
+        setup, rcfg = gate_auto_pallas_for_mesh(args, setup, rcfg)
 
     use_batching = not args.no_batching
     n_rand = args.N_rand

@@ -576,3 +576,38 @@ def test_use_pallas_tristate_resolution():
         assert RP._resolve_pallas(ns("constant")) is False
         forced = argparse.Namespace(use_pallas=True, mode="constant")
         assert RP._resolve_pallas(forced) is True
+
+
+def test_auto_pallas_gated_off_under_mesh(capsys):
+    """AUTO --use_pallas is single-device scope: under a multi-chip mesh
+    the train step falls back to XLA (Mosaic custom-call partitioning
+    under the dp batch constraint is unvalidated on real pods — the
+    virtual dryrun only emulates), while an explicit --use_pallas still
+    rides through for users who can validate on their hardware."""
+    import argparse
+    import dataclasses
+
+    from plnerf.cli import run_plnerf as RP
+    from plnerf.core.config import RenderConfig
+    from plnerf.train.step import TrainSetup
+
+    rcfg = RenderConfig(use_pallas_mlp=True, pallas_fold_heads=True)
+    setup = TrainSetup(rcfg=rcfg)
+    # AUTO (use_pallas=None): the gate strips the kernel from BOTH the
+    # rcfg and the jit-keyed TrainSetup, and says so once
+    auto = argparse.Namespace(use_pallas=None)
+    s2, r2 = RP.gate_auto_pallas_for_mesh(auto, setup, rcfg)
+    assert r2.use_pallas_mlp is False and r2.pallas_fold_heads is False
+    assert s2.rcfg is r2
+    assert "multi-chip" in capsys.readouterr().out
+    # everything else in the setup is untouched
+    assert dataclasses.replace(s2, rcfg=rcfg) == setup
+    # explicit --use_pallas: kept verbatim, no note
+    forced = argparse.Namespace(use_pallas=True)
+    s3, r3 = RP.gate_auto_pallas_for_mesh(forced, setup, rcfg)
+    assert r3.use_pallas_mlp is True and s3 is setup
+    assert capsys.readouterr().out == ""
+    # already-XLA rcfg: no-op
+    r_off = dataclasses.replace(rcfg, use_pallas_mlp=False)
+    s4, r4 = RP.gate_auto_pallas_for_mesh(auto, setup, r_off)
+    assert s4 is setup and r4 is r_off
