@@ -149,6 +149,16 @@ def add_base_flags(parser: ConfigArgumentParser) -> None:
     # itself never reads it either (only appears in signatures,
     # run_nerf_helpers.py:364,448)
     a("--quad_solution_v2", default=True, type=str2bool)
+    # constant-mode far-plane color fix in compositing (quadrature.py).
+    # The reference surfaces the flag only in its extract-mesh driver
+    # (nerf_extract_mesh.py:730, passed into render kwargs at :251); in
+    # the training drivers it is an internal default-False parameter
+    # (run_plnerf.py:553,645).  Exposed here for all tasks — deviation:
+    # broader surface, same default.
+    a("--farcolorfix", default=False, type=str2bool)
+    # parse-only in the reference (nerf_extract_mesh.py:735 defines it,
+    # nothing reads it); accepted-inert for config compatibility
+    a("--coarse_weight", type=float, default=1.0)
     a("--zero_tol", type=float, default=1e-4)
     a("--epsilon", type=float, default=1e-3)
     a("--set_near_plane", default=2.0, type=float)

@@ -144,6 +144,7 @@ def build_configs(args):
         mode=args.mode, color_mode=args.color_mode, lindisp=args.lindisp,
         perturb=args.perturb > 0.0, use_viewdirs=args.use_viewdirs,
         white_bkgd=args.white_bkgd, raw_noise_std=args.raw_noise_std,
+        farcolorfix=getattr(args, "farcolorfix", False),
         zero_tol=args.zero_tol, epsilon=args.epsilon,
         compute_pred_hyp=args.space_carving_weight > 0.0,
         is_joint=args.is_joint, trim_first_weight=True,

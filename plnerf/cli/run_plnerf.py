@@ -86,6 +86,7 @@ def build_configs(args, vanilla: bool = False):
         color_mode=args.color_mode, lindisp=args.lindisp,
         perturb=args.perturb > 0.0, use_viewdirs=args.use_viewdirs,
         white_bkgd=args.white_bkgd, raw_noise_std=args.raw_noise_std,
+        farcolorfix=getattr(args, "farcolorfix", False),
         zero_tol=args.zero_tol, epsilon=args.epsilon,
         mlp_dtype=getattr(args, "mlp_dtype", "float32"),
         use_pallas_mlp=_resolve_pallas(args),

@@ -30,6 +30,23 @@ def scene_dir(tmp_path_factory):
     return str(d.parent), "tinyscene"
 
 
+def test_farcolorfix_flag_rides_into_rcfg():
+    """--farcolorfix reaches RenderConfig (the reference exposes the flag
+    only in nerf_extract_mesh.py:730 and keeps it internal-False in the
+    training drivers, run_plnerf.py:645 — we surface it for all tasks);
+    --coarse_weight parses accepted-inert (parse-only in the reference,
+    nerf_extract_mesh.py:735)."""
+    from plnerf.cli.run_plnerf import build_configs
+
+    args = config_parser().parse_args(["--farcolorfix", "True",
+                                       "--coarse_weight", "0.5"])
+    _, rcfg, _ = build_configs(args)
+    assert rcfg.farcolorfix is True
+    assert args.coarse_weight == 0.5
+    _, rcfg, _ = build_configs(config_parser().parse_args([]))
+    assert rcfg.farcolorfix is False
+
+
 def test_config_file_layering(tmp_path):
     cfg = tmp_path / "conf.txt"
     cfg.write_text(
