@@ -206,6 +206,13 @@ def main():
                     help="linear-mode color convention (midpoint | left "
                          "| tau_weighted); non-default tags the exp/run "
                          "names")
+    ap.add_argument("--noise", type=float, default=0.0,
+                    help="train-time raw_noise_std; 1.0 is the calibrated "
+                         "dead-coarse mitigation (BASELINE.md) — use it to "
+                         "measure the eval-time claim on HEALTHY coarse "
+                         "heads (the round-3 mobj sweep trained at 0.0 and "
+                         "so measured degraded-guide models); non-default "
+                         "tags the exp/run names")
     args = ap.parse_args()
 
     from plnerf.cli.run_plnerf import main as plnerf_main
@@ -226,6 +233,8 @@ def main():
     stag = "" if args.seed == 0 else f"_s{args.seed}"
     if args.color_mode != "midpoint":
         stag += f"_{args.color_mode}"
+    if args.noise != 0.0:
+        stag += f"_n{args.noise:g}"
     for mode, ns, ni in recipes:
         exp = f"fd{tag.replace('-', '_')}_{mode}{stag}"
         t0 = time.time()
@@ -242,6 +251,7 @@ def main():
             "--i_video", "10000000", "--testskip", "1",
             "--mlp_dtype", "bfloat16", "--steps_per_dispatch", "100",
             "--seed", str(args.seed),
+            "--raw_noise_std", str(args.noise),
         ]
         if mode == "linear":
             train_args += ["--constant_init", "1000",
