@@ -89,8 +89,10 @@ def build_configs(args, vanilla: bool = False):
         farcolorfix=getattr(args, "farcolorfix", False),
         zero_tol=args.zero_tol, epsilon=args.epsilon,
         mlp_dtype=getattr(args, "mlp_dtype", "float32"),
-        use_pallas_mlp=_resolve_pallas(args),
-        pallas_fold_heads=_resolve_pallas(args),
+        # one resolution feeds both fields — they must never diverge
+        # (the folded-head schedule IS the kernel being enabled)
+        use_pallas_mlp=(pallas_on := _resolve_pallas(args)),
+        pallas_fold_heads=pallas_on,
         remat_mlp=getattr(args, "remat", False),
     )
     setup = TrainSetup(
@@ -477,10 +479,17 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
     occ_variants = (False, True) if occ_cfg is not None else (False,)
 
     if use_batching:
+        # timed: at the reference's full data geometry this is a ~64M-ray
+        # build + host shuffle (~2.3 GB; reference 'get rays ... shuffle
+        # rays', run_plnerf.py:1199-1221)
+        _t_pool = time.time()
         pool = batching.build_ray_pool(
             np.asarray(data.images, np.float32), np.asarray(data.poses), K,
             bundle.i_train, seed=args.seed,
         )
+        print(f"[pool] built {pool.shape[0]:,} rays in "
+              f"{time.time() - _t_pool:.1f} s "
+              f"({pool.nbytes / 1e9:.2f} GB host)")
         if bundle.ndc:
             # NDC pools: warp o/d once on host, but KEEP the world-space
             # direction as the viewdir column (reference render() computes
@@ -494,7 +503,10 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
                 [np.asarray(ro), np.asarray(rd), pool[:, 6:9], world_d],
                 axis=-1,
             ).astype(np.float32)
+        _t_pool = time.time()
         pool_j = jnp.asarray(pool)
+        pool_j.block_until_ready()
+        print(f"[pool] device transfer {time.time() - _t_pool:.1f} s")
         # (fused n_inner-step program, single-step program) per variant;
         # the single-step one covers phase-boundary and tail remainders
         steps = {
@@ -614,6 +626,35 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
             """A multiple of ``period`` falls inside this window."""
             return i // period > (i - n_this) // period
 
+        if occ_on:
+            # the degenerate-guidance guard runs EVERY window, not only
+            # on the i_print cadence (ADVICE r4: a large --i_print could
+            # leave thousands of steps training on degenerate guidance
+            # between checks).  Cost: one scalar D2H per ~100-step
+            # window.  Only the acting guard lives here; printing of the
+            # full metric line stays on the i_print cadence below.
+            frac_m = ({"occ_ray_frac": float(metrics["occ_ray_frac"])}
+                      if "occ_ray_frac" in metrics else {})
+            was_warned = occ_warned
+            occ_warned = _occ_advisory(
+                frac_m, i, occ_warm_end, occ_warned,
+                auto_fallback=not args.occ_keep_degenerate)
+            if occ_warned and not was_warned:
+                # record the acting signal at the step it fired — the
+                # i_print cadence may be thousands of steps away
+                logger.scalars(
+                    i, {**frac_m, "occ_auto_fallback":
+                        float(not args.occ_keep_degenerate)},
+                    prefix="train/")
+                if not args.occ_keep_degenerate:
+                    # act on the calibrated signal (VERDICT r3 item 6):
+                    # drop to the already-compiled uniform step variants,
+                    # stop grid updates and sidecar writes; later eval
+                    # tasks see no grid and score uniformly — matching
+                    # the post-fallback training distribution
+                    occ_cfg = None
+                    occ_state = None
+
         if fires(args.i_print):
             m = {k: float(v) for k, v in metrics.items()}
             m["steps_per_sec"] = steps_since_print / max(
@@ -623,20 +664,6 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
             logger.scalars(i, m, prefix="train/")
             print(f"[TRAIN] Iter: {i} Loss: {m['loss']:.5f} "
                   f"PSNR: {m['psnr']:.2f} ({m['steps_per_sec']:.1f} it/s)")
-            if occ_on:
-                was_warned = occ_warned
-                occ_warned = _occ_advisory(
-                    m, i, occ_warm_end, occ_warned,
-                    auto_fallback=not args.occ_keep_degenerate)
-                if occ_warned and not was_warned \
-                        and not args.occ_keep_degenerate:
-                    # act on the calibrated signal (VERDICT r3 item 6):
-                    # drop to the already-compiled uniform step variants,
-                    # stop grid updates and sidecar writes; later eval
-                    # tasks see no grid and score uniformly — matching
-                    # the post-fallback training distribution
-                    occ_cfg = None
-                    occ_state = None
             dead_warned = _dead_coarse_advisory(m, i, dead_warned,
                                                 args.mode)
             if getattr(args, "debug", False):

@@ -172,7 +172,13 @@ def _load_data(basedir: str, factor: int, width: int = None,
                height: int = None):
     """``factor`` wins; otherwise an explicit ``height`` (then ``width``)
     target derives the other dimension from the native aspect ratio —
-    the precedence chain of load_llff.py:62-89."""
+    the precedence chain of load_llff.py:62-89.
+
+    Deviation (ADVICE r4): ``factor=1`` is treated as "no downsampling"
+    and falls through to the resolution branch (or native images).  The
+    reference's ``factor is not None`` test would instead minify into an
+    ``images_1/`` copy and ignore width/height — a byte-identical resize
+    whose only effect is a duplicate image tree on disk."""
     import imageio.v2 as imageio
 
     poses_arr = np.load(os.path.join(basedir, "poses_bounds.npy"))

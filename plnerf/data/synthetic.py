@@ -339,3 +339,85 @@ def make_llff_fixture(basedir: str, n: int = 12, H: int = 120, W: int = 160,
     np.save(os.path.join(basedir, "poses_bounds.npy"),
             np.stack(rows).astype(np.float64))
     return basedir
+
+
+def render_scene_image_jax(
+    c2w: np.ndarray, H: int, W: int, focal: float,
+    density: float = 80.0, near: float = 2.0, far: float = 6.0,
+    n_march: int = 512, white_bkgd: bool = True, row_chunk: int = 25,
+    slab: bool = True,
+):
+    """``render_scene_image`` marched on the default JAX backend — same
+    scene, same t grid, same compositing, to float32 precision.  Exists
+    because the numpy marcher costs ~160 s per 800^2 view on this box's
+    single vCPU while the TPU does it in well under a second: the
+    full-data-geometry study (VERDICT r4 item 2) needs ~109 such views.
+    Parity vs the numpy marcher is tested (tests/test_data_loaders.py).
+
+    Returns (rgb [H,W,3], depth [H,W]) as numpy arrays."""
+    import jax
+    import jax.numpy as jnp
+
+    assert H % row_chunk == 0, "row_chunk must divide H"
+
+    def march_rows(rays_o, rays_d):
+        t = jnp.linspace(near, far, n_march, dtype=jnp.float32)
+        pts = (rays_o[..., None, :]
+               + rays_d[..., None, :] * t[:, None])          # [rc,W,S,3]
+        sigma = jnp.zeros(pts.shape[:-1], jnp.float32)
+        rgb = jnp.zeros(pts.shape[:-1] + (3,), jnp.float32)
+        for (c, r, a) in _SCENE_SPHERES:
+            inside = jnp.linalg.norm(
+                pts - jnp.asarray(c, jnp.float32), axis=-1) < r
+            sigma = jnp.where(inside, density, sigma)
+            rgb = jnp.where(inside[..., None],
+                            jnp.asarray(a, jnp.float32), rgb)
+        if slab:
+            z = pts[..., 2]
+            in_slab = ((z > _SLAB_Z[0]) & (z < _SLAB_Z[1])
+                       & (jnp.abs(pts[..., 0]) < _SLAB_R)
+                       & (jnp.abs(pts[..., 1]) < _SLAB_R))
+            checker = ((jnp.floor(pts[..., 0] * 2.5)
+                        + jnp.floor(pts[..., 1] * 2.5)) % 2)
+            slab_rgb = jnp.where(
+                checker[..., None] > 0,
+                jnp.asarray((0.9, 0.9, 0.9), jnp.float32),
+                jnp.asarray((0.25, 0.25, 0.3), jnp.float32))
+            sigma = jnp.where(in_slab, density, sigma)
+            rgb = jnp.where(in_slab[..., None], slab_rgb, rgb)
+        dt = (far - near) / (n_march - 1) * jnp.linalg.norm(
+            rays_d, axis=-1)[..., None]
+        alpha = 1 - jnp.exp(-sigma * dt)
+        trans = jnp.cumprod(
+            jnp.concatenate(
+                [jnp.ones_like(alpha[..., :1]), 1 - alpha + 1e-10], -1),
+            -1)[..., :-1]
+        w = alpha * trans
+        rgb_px = (w[..., None] * rgb).sum(-2)
+        acc = w.sum(-1)
+        depth = (w * t).sum(-1)
+        if white_bkgd:
+            rgb_px = rgb_px + (1 - acc)[..., None]
+        return rgb_px, depth
+
+    @jax.jit
+    def march_image(rays_o, rays_d):
+        # ONE dispatch per image: lax.map serializes the row chunks
+        # in-device (peak memory = one chunk's march), so a relay-
+        # throttled link pays one round trip per VIEW, not one per
+        # chunk (measured ~2.6 s/dispatch when throttled)
+        ro = rays_o.reshape(H // row_chunk, row_chunk, W, 3)
+        rd = rays_d.reshape(H // row_chunk, row_chunk, W, 3)
+        rgb_px, depth = jax.lax.map(lambda ab: march_rows(*ab), (ro, rd))
+        return rgb_px.reshape(H, W, 3), depth.reshape(H, W)
+
+    i, j = np.meshgrid(np.arange(W, dtype=np.float32),
+                       np.arange(H, dtype=np.float32), indexing="xy")
+    dirs = np.stack(
+        [(i - W / 2) / focal, -(j - H / 2) / focal, -np.ones_like(i)], -1
+    )
+    rays_d = (dirs @ c2w[:3, :3].T).astype(np.float32)
+    rays_o = np.broadcast_to(
+        c2w[:3, 3].astype(np.float32), rays_d.shape).copy()
+    rgb_out, depth_out = march_image(rays_o, rays_d)
+    return np.asarray(rgb_out), np.asarray(depth_out)

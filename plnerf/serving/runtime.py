@@ -55,7 +55,12 @@ class ServingRenderer:
                 self._staged[getattr(
                     getattr(rays, "device", None), "id", None)
                     if self.devices else None], rays, seed)
-            fraw = jax.jit(fused.call) if fused is not None else None
+            # fused whole-image path: single-device only (render_rays
+            # guards it with `not self.devices`), and with devices= the
+            # staged dict is keyed by device ids — so only build the
+            # callable when its None key actually exists (ADVICE r4)
+            fraw = (jax.jit(fused.call)
+                    if fused is not None and not self.devices else None)
             self._fused_call = (
                 (lambda rays, seed: fraw(self._staged[None], rays, seed))
                 if fraw is not None else None)
