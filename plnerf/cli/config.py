@@ -108,6 +108,11 @@ def add_base_flags(parser: ConfigArgumentParser) -> None:
     a("--coarse_lrate", type=float, default=5e-4)
     a("--lrate_decay", type=int, default=250)
     a("--chunk", type=int, default=1024 * 32)
+    a("--eval_chunk", type=int, default=None,
+      help="ray chunk for IN-TRAINING eval renders (i_img/i_testset/"
+           "i_video); default: --chunk, auto-shrunk to 8192 when a "
+           ">1 GB use_batching ray pool is resident (HBM headroom — "
+           "see cli.run_plnerf.training_eval_chunk)")
     a("--netchunk", type=int, default=1024 * 64)
     a("--no_batching", action="store_true")
     a("--no_reload", action="store_true")

@@ -478,6 +478,7 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
 
     occ_variants = (False, True) if occ_cfg is not None else (False,)
 
+    ev_chunk = training_eval_chunk(args, 0)   # no_batching: no pool
     if use_batching:
         # timed: at the reference's full data geometry this is a ~64M-ray
         # build + host shuffle (~2.3 GB; reference 'get rays ... shuffle
@@ -507,6 +508,7 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
         pool_j = jnp.asarray(pool)
         pool_j.block_until_ready()
         print(f"[pool] device transfer {time.time() - _t_pool:.1f} s")
+        ev_chunk = training_eval_chunk(args, pool_j.nbytes)
         # (fused n_inner-step program, single-step program) per variant;
         # the single-step one covers phase-boundary and tail remainders
         steps = {
@@ -682,14 +684,14 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
 
         if fires(args.i_img) and len(bundle.i_val) > 0:
             vi = int(bundle.i_val[(i // args.i_img) % len(bundle.i_val)])
-            out = EI.render_image(
+            out = _oom_retry(lambda c: EI.render_image(
                 state.params_coarse, state.params_fine, data.poses[vi],
                 data.hwf, K, mcfg,
                 EI.test_render_config(rcfg, occ=occ_cfg,
                                       **_eval_pallas_overrides(args)),
-                near=bundle.near, far=bundle.far, chunk=args.chunk,
+                near=bundle.near, far=bundle.far, chunk=c,
                 ndc=bundle.ndc, mesh=mesh, occ_grid=occ_state,
-            )
+            ), ev_chunk)
             val_mse = float(np.mean(
                 (out["rgb_map"] - np.asarray(data.images[vi])) ** 2))
             logger.scalars(i, {"mse": val_mse,
@@ -698,13 +700,16 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
             logger.image(i, "val/rgb", np.clip(out["rgb_map"], 0, 1))
 
         if fires(args.i_testset) and i < n_iters:
-            run_test(args, bundle, mcfg, rcfg, state=state, mesh=mesh,
-                     suffix=f"_{i:06d}", setup=setup,
-                     occ=(occ_cfg, occ_state))
+            _oom_retry(lambda c: run_test(
+                args, bundle, mcfg, rcfg, state=state, mesh=mesh,
+                suffix=f"_{i:06d}", setup=setup,
+                occ=(occ_cfg, occ_state), chunk=c), ev_chunk)
 
         if fires(args.i_video) and i < n_iters:
-            run_video(args, bundle, mcfg, rcfg, state=state, mesh=mesh,
-                      step=i, setup=setup, occ=(occ_cfg, occ_state))
+            _oom_retry(lambda c: run_video(
+                args, bundle, mcfg, rcfg, state=state, mesh=mesh,
+                step=i, setup=setup, occ=(occ_cfg, occ_state),
+                chunk=c), ev_chunk)
 
     if profiling:  # run ended inside the profiled window
         jax.profiler.stop_trace()
@@ -718,6 +723,43 @@ def run_training(args, bundle: DatasetBundle, setup: TrainSetup,
 # ---------------------------------------------------------------------------
 # eval tasks
 # ---------------------------------------------------------------------------
+
+def training_eval_chunk(args, pool_bytes: int) -> int:
+    """Ray chunk for IN-TRAINING eval renders (i_img / i_testset /
+    i_video).  These share HBM with the resident ray pool and the
+    donated train-state double buffer; at the reference's full data
+    geometry (100-view 800^2 -> 64M-ray pool, 2.3 GB on device) a
+    32768-ray chunk's render intermediates (~chunk x 320 MLP points x
+    width activations) no longer fit — measured RESOURCE_EXHAUSTED on
+    v5e-16GB at the first i_img render of the geo800 study (round 5).
+    An explicit --eval_chunk always wins; otherwise the default chunk is
+    shrunk to 8192 once the pool passes 1 GB (the post-training eval
+    tasks never shrink — no pool is resident there)."""
+    ev = getattr(args, "eval_chunk", None)
+    if ev:
+        return ev
+    if pool_bytes > 1e9 and args.chunk > 8192:
+        print(f"[eval] shrinking in-training eval chunk {args.chunk} -> "
+              f"8192 (ray pool holds {pool_bytes / 1e9:.1f} GB of HBM; "
+              f"override with --eval_chunk)")
+        return 8192
+    return args.chunk
+
+
+def _oom_retry(render_fn, chunk: int, min_chunk: int = 1024):
+    """Run ``render_fn(chunk)``, quartering the chunk on
+    RESOURCE_EXHAUSTED (each retry recompiles, so this is a fallback —
+    training_eval_chunk avoids the common case up front)."""
+    while True:
+        try:
+            return render_fn(chunk)
+        except jax.errors.JaxRuntimeError as e:  # pragma: no cover - TPU
+            if "RESOURCE_EXHAUSTED" not in str(e) or chunk <= min_chunk:
+                raise
+            chunk = max(min_chunk, chunk // 4)
+            print(f"[eval] RESOURCE_EXHAUSTED — retrying render at "
+                  f"chunk {chunk}")
+
 
 def _load_state_for_eval(args, setup):
     state, start, _ = restore_or_init(args, setup)
@@ -750,7 +792,7 @@ def _eval_pallas_overrides(args):
 
 
 def run_test(args, bundle, mcfg, rcfg, state=None, mesh=None,
-             suffix: str = "", setup=None, occ=None):
+             suffix: str = "", setup=None, occ=None, chunk=None):
     if state is None:
         state = _load_state_for_eval(args, setup)
         mesh = get_mesh(args)
@@ -758,7 +800,8 @@ def run_test(args, bundle, mcfg, rcfg, state=None, mesh=None,
     lp = load_lpips(getattr(args, "lpips_weights", None))
     mean_metrics, res = EI.render_images_with_metrics(
         state.params_coarse, state.params_fine, bundle.data, bundle.i_test,
-        mcfg, eval_render_config(args, rcfg, occ_cfg), chunk=args.chunk,
+        mcfg, eval_render_config(args, rcfg, occ_cfg),
+        chunk=chunk or args.chunk,
         near=bundle.near, far=bundle.far, ndc=bundle.ndc, mesh=mesh,
         lpips_fn=lp, mcfg_fine=setup.mcfg_fine if setup else None,
         occ_grid=occ_grid,
@@ -863,7 +906,7 @@ def run_test_samples_error(args, bundle, mcfg, rcfg, setup):
 
 
 def run_video(args, bundle, mcfg, rcfg, state=None, mesh=None, step=None,
-              setup=None, occ=None):
+              setup=None, occ=None, chunk=None):
     if state is None:
         state = _load_state_for_eval(args, setup)
         mesh = get_mesh(args)
@@ -887,7 +930,8 @@ def run_video(args, bundle, mcfg, rcfg, state=None, mesh=None, step=None,
         state.params_coarse, state.params_fine, poses, data.hwf, K, mcfg,
         eval_render_config(args, rcfg, occ_cfg),
         near=bundle.near, far=bundle.far,
-        chunk=args.chunk, savedir=savedir, render_factor=args.render_factor,
+        chunk=chunk or args.chunk, savedir=savedir,
+        render_factor=args.render_factor,
         mesh=mesh, ndc=bundle.ndc,
         mcfg_fine=setup.mcfg_fine if setup else None, occ_grid=occ_grid,
     )

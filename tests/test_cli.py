@@ -628,3 +628,22 @@ def test_auto_pallas_gated_off_under_mesh(capsys):
     r_off = dataclasses.replace(rcfg, use_pallas_mlp=False)
     s4, r4 = RP.gate_auto_pallas_for_mesh(auto, setup, r_off)
     assert s4 is setup and r4 is r_off
+
+
+def test_training_eval_chunk_policy():
+    """In-training eval renders must not OOM against a resident 64M-ray
+    pool (round-5 geo800 study: RESOURCE_EXHAUSTED at the first 800^2
+    i_img render with chunk 32768 + a 2.3 GB pool on v5e-16GB).
+    Policy: explicit --eval_chunk wins; otherwise shrink to 8192 only
+    when the pool exceeds 1 GB; never grow a smaller --chunk."""
+    import argparse
+
+    from plnerf.cli.run_plnerf import training_eval_chunk
+
+    mk = lambda **kw: argparse.Namespace(chunk=32768, eval_chunk=None, **kw)
+    assert training_eval_chunk(mk(), 0) == 32768              # no pool
+    assert training_eval_chunk(mk(), 2_300_000_000) == 8192   # big pool
+    a = mk(); a.eval_chunk = 4096
+    assert training_eval_chunk(a, 2_300_000_000) == 4096      # explicit
+    a = mk(); a.chunk = 2048
+    assert training_eval_chunk(a, 2_300_000_000) == 2048      # never grow

@@ -148,8 +148,14 @@ def main():
 
     if args.what == "train":
         t0 = time.time()
+        # raw_noise_std=1e0: the calibrated dead-coarse mitigation
+        # (BASELINE.md) — the first geo800 attempt confirmed the seed-0
+        # init trap fires at the real geometry too (coarse died at iter
+        # ~3.1k, advisory printed organically); noise keeps both heads
+        # alive so the study measures machinery AND a meaningful model
         plnerf_main(base_args(args, "geo800_linear") + [
-            "--task", "train", "--num_iterations", str(args.iters),
+            "--task", "train", "--raw_noise_std", "1e0",
+            "--num_iterations", str(args.iters),
             "--i_print", "1000", "--i_weights", "10000",
             "--i_img", "10000", "--i_testset", "25000",
             "--i_video", "100000000",
