@@ -24,6 +24,11 @@ the REAL CLI at the real geometry on a procedural 800^2 scene:
   --what eval     full 800^2 held-out test render (--task test) +
                   row emit.
 
+``--mode constant`` (round 5) switches train/eval to the constant
+recipe (blender_constant.txt: 64+128, no warmup) so the paper's core
+linear-vs-constant comparison runs at the reference's real data
+geometry — every earlier convergence comparison used <=160^2 fixtures.
+
 Rows append to convergence_runs.jsonl (run=geo800-*).
 """
 from __future__ import annotations
@@ -116,15 +121,22 @@ def parse_metrics(path):
 
 
 def base_args(args, exp):
-    return [
+    # recipe shape follows each mode's own config (blender_linear.txt
+    # 128+64 / blender_constant.txt 64+128); constant_init is the
+    # linear recipe's warmup only
+    ns, ni = (128, 64) if args.mode == "linear" else (64, 128)
+    out = [
         "--dataset", "blender", "--data_dir", CACHE, "--scene_id",
         "geo800", "--ckpt_dir", args.ckpt_root, "--expname", exp,
-        "--use_viewdirs", "--white_bkgd", "--mode", "linear",
-        "--N_samples", "128", "--N_importance", "64",
+        "--use_viewdirs", "--white_bkgd", "--mode", args.mode,
+        "--N_samples", str(ns), "--N_importance", str(ni),
         "--N_rand", "1024", "--mlp_dtype", "bfloat16",
-        "--lrate_decay", "500", "--constant_init", "1000",
+        "--lrate_decay", "500",
         "--testskip", "1", "--seed", "0",
     ]
+    if args.mode == "linear":
+        out += ["--constant_init", "1000"]
+    return out
 
 
 def main():
@@ -135,6 +147,11 @@ def main():
                     help="train horizon; 70k crosses the ~62.5k-step "
                          "64M-ray pool epoch boundary")
     ap.add_argument("--ckpt_root", default=os.path.join(REPO, ".ckpts"))
+    ap.add_argument("--mode", default="linear",
+                    choices=("linear", "constant"),
+                    help="train/eval arm recipe (round 5: the constant "
+                         "arm puts the paper's core comparison at the "
+                         "reference's real data geometry)")
     args = ap.parse_args()
 
     if args.what == "gen":
@@ -153,7 +170,7 @@ def main():
         # init trap fires at the real geometry too (coarse died at iter
         # ~3.1k, advisory printed organically); noise keeps both heads
         # alive so the study measures machinery AND a meaningful model
-        plnerf_main(base_args(args, "geo800_linear") + [
+        plnerf_main(base_args(args, f"geo800_{args.mode}") + [
             "--task", "train", "--raw_noise_std", "1e0",
             "--num_iterations", str(args.iters),
             "--i_print", "1000", "--i_weights", "10000",
@@ -161,7 +178,8 @@ def main():
             "--i_video", "100000000",
             "--steps_per_dispatch", "100",
         ])
-        emit({"run": "geo800-train", "iter": args.iters, "final": True,
+        emit({"run": "geo800-train", "mode": args.mode,
+              "iter": args.iters, "final": True,
               "elapsed_s": round(time.time() - t0, 1)})
     elif args.what == "precrop":
         t0 = time.time()
@@ -178,11 +196,13 @@ def main():
               "elapsed_s": round(time.time() - t0, 1)})
     elif args.what == "eval":
         t0 = time.time()
-        plnerf_main(base_args(args, "geo800_linear") + ["--task", "test"])
-        mdir = os.path.join(args.ckpt_root, "geo800_linear",
-                            "test_images_linear_128_64geo800")
+        plnerf_main(base_args(args, f"geo800_{args.mode}") +
+                    ["--task", "test"])
+        ns, ni = (128, 64) if args.mode == "linear" else (64, 128)
+        mdir = os.path.join(args.ckpt_root, f"geo800_{args.mode}",
+                            f"test_images_{args.mode}_{ns}_{ni}geo800")
         vals = parse_metrics(os.path.join(mdir, "metrics.txt"))
-        emit({"run": "geo800-eval", "final": True,
+        emit({"run": "geo800-eval", "mode": args.mode, "final": True,
               "psnr": round(vals.get("psnr", float("nan")), 2),
               "ssim": round(vals.get("ssim", float("nan")), 4),
               "psnr0": round(vals.get("psnr0", float("nan")), 2),
